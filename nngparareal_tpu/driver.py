@@ -1,0 +1,587 @@
+"""The parareal orchestrator (predictor-corrector sweep over time slices).
+
+Functional equivalent of the reference ``Parareal``/``PararealLight``
+classes (reference parareal.py:26-1071), rebuilt around three fused XLA
+programs per iteration instead of host loops + process pools:
+
+1. **fine fan-out** — one vmapped (optionally mesh-sharded) RK kernel over
+   all N slices (replaces the MPI pool.map, parareal.py:310-315). All N
+   slices are integrated every iteration: frozen slices recompute their
+   (bitwise identical) values in otherwise-idle vector lanes, which keeps
+   every shape static.
+2. **model fit** — batched GP hyperparameter training (models decide).
+3. **sweep** — the inherently sequential corrector loop
+   ``u_{i+1} = model(u_i) + G(u_i)`` (parareal.py:359-382) as ONE
+   ``lax.scan`` whose body fuses the coarse RK solve and the model
+   prediction; already-converged slices short-circuit through
+   ``lax.cond`` so they cost nothing.
+
+State is rolling (O(N n)), like the reference's PararealLight
+(parareal.py:812-1060); per-iteration history is optionally captured on
+the host for plotting/debug parity with the full Parareal class. The
+convergence bookkeeping (prefix freeze, err columns, early stop, NaN
+guards) matches parareal.py:301-439 exactly — the published
+iterations-to-convergence K are the acceptance oracle.
+"""
+
+import os
+import pickle
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nngparareal_tpu.models import (
+    BareParareal,
+    NNGParareal,
+    GParareal,
+    ELM,
+    Dataset,
+)
+from nngparareal_tpu.models.base import ModelBase
+from nngparareal_tpu.systems.base import ODE
+from nngparareal_tpu.solver import SolverAbstr
+from nngparareal_tpu.parallel.mesh import shard_fine_fanout
+from nngparareal_tpu.ops.rk import integrate_last
+
+
+def _block(x):
+    return jax.block_until_ready(x)
+
+
+class Parareal:
+    """Parareal(ode, solver, tspan, N, epsilon).run(model=..., ...)."""
+
+    def __init__(self, ode, solver, tspan, N, epsilon=5e-7, verbose="v", **kwargs):
+        if not isinstance(ode, ODE):
+            raise Exception("ode must be an instance of the ODE class")
+        if not isinstance(solver, SolverAbstr):
+            raise Exception("solver must be an instance of SolverAbstr")
+        self.ode = ode
+        self.solver = solver
+        self.tspan = tuple(float(x) for x in tspan)
+        self.N = int(N)
+        self.epsilon = float(epsilon)
+        self.verbose = verbose
+        self.ode_name = ode.name
+        self.n = ode.get_dim()
+        self.f = ode.get_vector_field()
+        self.u0 = ode.get_init_cond()
+        self.runs = {}
+        self.fine = None
+        self.fine_t = None
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def run(self, model="parareal", cstm_mdl_name=None, add_model=False, **kwargs):
+        if isinstance(model, ModelBase):
+            mdl = model
+        else:
+            mdl = self._make_model(model, **kwargs)
+        s_time = time.perf_counter()
+        out = self._parareal(mdl, **kwargs)
+        out["timings"]["runtime"] = time.perf_counter() - s_time
+        if self.verbose == "v":
+            print(f"Elapsed Parareal time: {out['timings']['runtime']:0.2f}s")
+        if add_model:
+            out["mdl"] = mdl
+        name = cstm_mdl_name if cstm_mdl_name is not None else mdl.name
+        self.runs[name] = out
+        return out
+
+    def _make_model(self, model, **kwargs):
+        key = str(model).lower()
+        kw = {
+            k: v
+            for k, v in kwargs.items()
+            if k
+            in (
+                "nn",
+                "n_restarts",
+                "seed",
+                "fatol",
+                "xatol",
+                "nm_max_iters",
+                "theta",
+                "res_size",
+                "loss",
+                "M",
+                "R",
+                "alpha",
+                "degree",
+                "m",
+            )
+        }
+        if key == "parareal":
+            return BareParareal(n=self.n, N=self.N)
+        if key in ("nngp", "nngparareal"):
+            return NNGParareal(n=self.n, N=self.N, **kw)
+        if key in ("gpjax", "gp", "gparareal"):
+            return GParareal(n=self.n, N=self.N, **kw)
+        if key == "elm":
+            kw.setdefault("seed", 47)
+            return ELM(n=self.n, N=self.N, **kw)
+        raise Exception(f"Unknown model {model!r}")
+
+    # ------------------------------------------------------------------
+    # fused kernels
+    # ------------------------------------------------------------------
+
+    def _make_fanout(self, mesh):
+        """(t0s, t1s, U) -> F-endpoints for all N slices."""
+        solver = self.solver
+        if mesh is None:
+            return solver.run_F_batch
+
+        f, F, Nf = solver.f, solver.F, solver.Nf
+
+        def traceable(t0s, t1s, U):
+            def one(t0, t1, u):
+                return integrate_last(f, F, t0, (t1 - t0) / Nf, Nf, u)
+
+            return jax.vmap(one)(t0s, t1s, U)
+
+        sharded = shard_fine_fanout(traceable, mesh)
+        ndev = mesh.devices.size
+        N = self.N
+        pad = (-N) % ndev
+
+        def fanout(t0s, t1s, U):
+            if pad:
+                t0s = jnp.concatenate([t0s, t0s[-pad:]])
+                t1s = jnp.concatenate([t1s, t1s[-pad:]])
+                U = jnp.concatenate([U, U[-pad:]])
+            out = sharded(t0s, t1s, U)
+            return out[:N] if pad else out
+
+        return fanout
+
+    def _make_sweep(self, model, cap):
+        """Build the fused corrector sweep for the current static config."""
+        solver = self.solver
+        N = self.N
+        t0_glob = self.tspan[0]
+        dt_slice = (self.tspan[1] - self.tspan[0]) / N
+
+        def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV, state, aux):
+            ds = Dataset(dsX, dsD, dsV)
+
+            def body(u_i, xs):
+                i, u_init_ip1, uG_init_ip1, uF_ip1, uG_ip1, aux_i = xs
+
+                def active(u):
+                    t_i = t0_glob + i * dt_slice
+                    uGn = solver.coarse_step_raw(t_i, dt_slice, u)
+                    pred = model.predict_fn(state, ds, u, uF_ip1, uG_ip1, aux_i)
+                    return pred + uGn, uGn
+
+                def frozen(u):
+                    return u_init_ip1, uG_init_ip1
+
+                u_ip1, uG_ip1_new = lax.cond(i >= I, active, frozen, u_i)
+                return u_ip1, (u_ip1, uG_ip1_new)
+
+            xs = (
+                jnp.arange(N),
+                u_init[1:],
+                uG_init[1:],
+                uF_k[1:],
+                uG_k[1:],
+                aux,
+            )
+            _, (u_tail, uG_tail) = lax.scan(body, u_init[0], xs)
+            u_next = jnp.concatenate([u_init[:1], u_tail], axis=0)
+            uG_next = jnp.concatenate([uG_init[:1], uG_tail], axis=0)
+            err = jnp.max(jnp.abs(u_next - u_prev), axis=1)
+            err = err.at[I].set(0.0)
+            return u_next, uG_next, err
+
+        return jax.jit(sweep)
+
+    # ------------------------------------------------------------------
+    # the main loop
+    # ------------------------------------------------------------------
+
+    def _parareal(
+        self,
+        model,
+        early_stop=None,
+        store_int=False,
+        keep_history=False,
+        debug=False,
+        cap_iters=None,
+        mesh=None,
+        warmup=True,
+        measure_serial_fine=True,
+        int_dir="",
+        int_name=None,
+        _resume=None,
+        **kwargs,
+    ):
+        N, n, eps = self.N, self.n, self.epsilon
+        verbose = kwargs.get("verbose", self.verbose)
+        solver = self.solver
+        t = np.linspace(self.tspan[0], self.tspan[1], N + 1)
+        t_dev = jnp.asarray(t)
+        dt_slice = (t[-1] - t[0]) / N
+
+        fanout = self._make_fanout(mesh)
+        sweep_cache = {}
+
+        def get_sweep(cap, sig):
+            key = (cap, sig)
+            if key not in sweep_cache:
+                sweep_cache[key] = self._make_sweep(model, cap)
+            return sweep_cache[key]
+
+        cap0 = N * max(1, min(N, 32 if cap_iters is None else int(cap_iters)))
+        ds = Dataset.empty(cap0 if model.needs_dataset else N, n)
+
+        u0_dev = jnp.asarray(self.u0)
+
+        # --- warmup (exclude compiles from timings) ---
+        if warmup:
+            _block(fanout(t_dev[:-1], t_dev[1:], jnp.tile(u0_dev, (N, 1))))
+            _block(solver.run_G_chain(t_dev, u0_dev))
+            saved = model.get_ckpt_state()
+            if model.needs_dataset:
+                model.fit(ds, 0)
+            aux = model.sweep_aux(0, N)
+            if aux is None:
+                aux = jnp.zeros((N, 1))
+            sweep = get_sweep(ds.capacity, model.static_signature(0))
+            dummy = jnp.tile(u0_dev, (N + 1, 1))
+            _block(
+                sweep(
+                    jnp.int64(0), dummy, dummy, dummy, dummy, dummy,
+                    ds.X, ds.D, ds.valid, model.state_pytree(), aux,
+                )
+            )
+            model.set_ckpt_state(saved)
+            model.reset_rng()
+
+        timings = {}
+        G_time = 0.0
+        F_time = 0.0
+        F_time_serial = 0.0
+        sweep_time = 0.0
+
+        # --- coarse init chain (parareal.py:264-277) ---
+        tic = time.perf_counter()
+        uG = _block(solver.run_G_chain(t_dev, u0_dev))
+        g_chain_t = time.perf_counter() - tic
+        G_time += g_chain_t
+        u = uG
+        uF = uG  # placeholder; row 0 = u0 is what matters
+        I = 0
+        k_done = 0
+        converged = False
+        err_cols = []
+        conv_int = []
+        hist_u, hist_uG, hist_uF = [], [], []
+        debug_dict = {}
+        mean_errs, max_errs, one_step_error, all_pred_err = [], [], [], []
+
+        per_slice_fine_t = None
+
+        loop_start = 0
+        if _resume is not None:
+            (u, uG, uF, I, loop_start, err_cols, conv_int, ds,
+             G_time, F_time, F_time_serial, sweep_time) = _resume
+            u, uG, uF = jnp.asarray(u), jnp.asarray(uG), jnp.asarray(uF)
+            if I >= N:
+                raise Exception("System has already converged")
+
+        if keep_history:
+            hist_u.append(np.asarray(u))
+
+        for k in range(loop_start, N):
+            if verbose == "v":
+                print(f"{self.ode_name} {model.name} iteration number (out of {N}): {k + 1} ")
+
+            # --- 1. fine fan-out over ALL slices ---
+            tic = time.perf_counter()
+            uF_tail = _block(fanout(t_dev[:-1], t_dev[1:], u[:-1]))
+            F_time += time.perf_counter() - tic
+            uF = jnp.concatenate([u[:1], uF_tail], axis=0)
+
+            if measure_serial_fine and per_slice_fine_t is None:
+                _, per_slice_fine_t = solver.run_F_timed(t[0], t[1], u[0])
+            if per_slice_fine_t is not None:
+                F_time_serial += per_slice_fine_t
+
+            # --- 2. freeze slice I+1; collect data (parareal.py:330-339) ---
+            u_init = u.at[I + 1].set(uF[I + 1])
+            uG_init = uG
+            I += 1
+
+            if model.needs_dataset:
+                if (k + 1) * N > ds.capacity:
+                    ds = ds.grown(2 * ds.capacity)
+                valid_new = (np.arange(N) >= I - 1).astype(float)
+                ds = ds.appended(
+                    u[:-1], uF[1:] - uG[1:], jnp.asarray(valid_new), k * N
+                )
+
+            # --- early stop: only one interval was missing ---
+            if I == N:
+                if verbose == "v":
+                    print("WARNING: early stopping")
+                err = np.asarray(jnp.max(jnp.abs(u_init - u), axis=1))
+                err[-1] = np.nextafter(eps, 0)
+                err_cols.append(err)
+                conv_int.append(I)
+                u, uF_last = u_init, uF
+                k_done = k + 1
+                converged = True
+                if keep_history:
+                    hist_u.append(np.asarray(u))
+                break
+
+            # --- 3. model fit (parareal.py:351) ---
+            tic = time.perf_counter()
+            model.fit(ds, k)
+            st = model.state_pytree()
+            if st is not None:
+                _block(st)
+            model.add_train_time(k, time.perf_counter() - tic)
+
+            # --- 4. fused corrector sweep (parareal.py:359-382) ---
+            aux = model.sweep_aux(k, N)
+            if aux is None:
+                aux = jnp.zeros((N, 1))
+            sweep = get_sweep(ds.capacity, model.static_signature(k))
+            tic = time.perf_counter()
+            u_next, uG_next, err_dev = _block(
+                sweep(
+                    jnp.asarray(I), u_init, uG_init, uF, uG, u,
+                    ds.X, ds.D, ds.valid, model.state_pytree(), aux,
+                )
+            )
+            dt_sweep = time.perf_counter() - tic
+            sweep_time += dt_sweep
+            # attribute sweep wall between the sequential coarse chain and
+            # the model: estimate G from the measured init chain, prorated
+            # by the active-slice fraction (lax.cond skips frozen slices)
+            g_est = g_chain_t * (N - I) / N
+            G_time += g_est
+            model.add_pred_time(k, max(0.0, dt_sweep - g_est))
+
+            if bool(jnp.any(jnp.isnan(uG_next))):
+                raise Exception("NaN values in initial coarse solve - increase Ng!")
+
+            # --- debug: model-vs-truth errors (parareal.py:353-393) ---
+            if debug:
+                truth_tail = _block(fanout(t_dev[:-1], t_dev[1:], u_next[:-1]))
+                pe = np.asarray(jnp.abs(truth_tail - u_next[1:]))[I:]
+                mean_errs.append(pe.mean(axis=0))
+                max_errs.append(pe.max(axis=0))
+                all_pred_err.append(pe)
+                if verbose == "v":
+                    print(f"Avg error {pe.mean(axis=0)}, Max. error {pe.max(axis=0)}")
+
+            # --- 5. convergence check + prefix freeze (parareal.py:399-416) ---
+            err = np.asarray(err_dev)
+            if debug:
+                one_step_error.append([err[I + 1], float(np.max(all_pred_err[-1]))])
+            for p in range(I + 1, N + 1):
+                if err[p] < eps:
+                    I += 1
+                else:
+                    break
+            if verbose == "v":
+                print("--> Converged:", I)
+            err_cols.append(err)
+            conv_int.append(I)
+
+            u, uG = u_next, uG_next
+            k_done = k + 1
+            if keep_history:
+                hist_u.append(np.asarray(u))
+
+            if store_int:
+                self._store_int(
+                    model, k, I, u, uG, uF, err_cols, conv_int, ds,
+                    G_time, F_time, F_time_serial, sweep_time,
+                    int_dir=int_dir, int_name=int_name,
+                )
+
+            if I == N:
+                converged = True
+                break
+            if early_stop is not None and k == early_stop - 1:
+                if verbose == "v":
+                    print("Early stopping due to user condition.")
+                break
+
+        # --- outputs ---
+        err_arr = np.stack(err_cols, axis=1) if err_cols else np.zeros((N + 1, 0))
+        if model.needs_dataset:
+            mask = np.asarray(ds.valid) > 0
+            x_out = np.asarray(ds.X)[mask]
+            D_out = np.asarray(ds.D)[mask]
+        else:
+            x_out = np.zeros((0, n))
+            D_out = np.zeros((0, n))
+
+        timings = {
+            "F_time": F_time,
+            "G_time": G_time,
+            "G_init_time": g_chain_t,
+            "sweep_time": sweep_time,
+            "F_time_serial_avg": F_time_serial,
+        }
+        timings.update(model.get_times())
+
+        if debug:
+            debug_dict = {
+                "one_step_error": np.array(one_step_error),
+                "all_pred_err": all_pred_err,
+                "mean_errs": mean_errs,
+                "max_errs": max_errs,
+            }
+
+        out = {
+            "t": t,
+            "u": np.asarray(u),
+            "err": err_arr,
+            "x": x_out,
+            "D": D_out,
+            "k": k_done,
+            "timings": timings,
+            "debug_dict": debug_dict,
+            "converged": converged,
+            "conv_int": conv_int,
+        }
+        if keep_history:
+            out["u_hist"] = np.stack(hist_u, axis=2)
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (reference parareal.py:114-209, 420-431)
+    # ------------------------------------------------------------------
+
+    def _store_int(
+        self, model, k, I, u, uG, uF, err_cols, conv_int, ds,
+        G_time, F_time, F_time_serial, sweep_time, int_dir="", int_name=None,
+    ):
+        name_base = int_name or f"{self.ode_name}_{self.N}_{model.name}_int"
+        path = os.path.join(int_dir, name_base)
+        os.makedirs(path, exist_ok=True)
+        payload = {
+            "k": k,
+            "I": I,
+            "u": np.asarray(u),
+            "uG": np.asarray(uG),
+            "uF": np.asarray(uF),
+            "err_cols": [np.asarray(e) for e in err_cols],
+            "conv_int": list(conv_int),
+            "ds_X": np.asarray(ds.X),
+            "ds_D": np.asarray(ds.D),
+            "ds_valid": np.asarray(ds.valid),
+            "G_time": G_time,
+            "F_time": F_time,
+            "F_time_serial": F_time_serial,
+            "sweep_time": sweep_time,
+            "model_name": model.name,
+            "model_state": model.get_ckpt_state(),
+            "tspan": self.tspan,
+            "N": self.N,
+            "epsilon": self.epsilon,
+            "ode_name": self.ode_name,
+        }
+        with open(os.path.join(path, f"{name_base}_{k}"), "wb") as fh:
+            pickle.dump(payload, fh, pickle.HIGHEST_PROTOCOL)
+
+    def load_int_dump(self, ckpt_path, model="parareal", cstm_mdl_name=None, **kwargs):
+        """Resume a run from a per-iteration checkpoint file."""
+        with open(ckpt_path, "rb") as fh:
+            p = pickle.load(fh)
+        if p["ode_name"] != self.ode_name or p["N"] != self.N:
+            raise Exception("Checkpoint does not match this Parareal instance")
+        mdl = model if isinstance(model, ModelBase) else self._make_model(model, **kwargs)
+        if mdl.name != p["model_name"]:
+            raise Exception(
+                f"Checkpoint was written by model {p['model_name']}, got {mdl.name}"
+            )
+        mdl.set_ckpt_state(p["model_state"])
+        base_time = p["G_time"] + p["F_time"] + mdl.get_times()["mdl_tot_t"]
+        ds = Dataset(
+            jnp.asarray(p["ds_X"]), jnp.asarray(p["ds_D"]), jnp.asarray(p["ds_valid"])
+        )
+        resume = (
+            p["u"], p["uG"], p["uF"], p["I"], p["k"] + 1,
+            [np.asarray(e) for e in p["err_cols"]], list(p["conv_int"]), ds,
+            p["G_time"], p["F_time"], p["F_time_serial"], p["sweep_time"],
+        )
+        s_time = time.perf_counter()
+        out = self._parareal(mdl, _resume=resume, **kwargs)
+        out["timings"]["runtime"] = time.perf_counter() - s_time + base_time
+        name = cstm_mdl_name if cstm_mdl_name is not None else mdl.name
+        self.runs[name] = out
+        return out
+
+    # ------------------------------------------------------------------
+    # reporting / plotting — delegated
+    # ------------------------------------------------------------------
+
+    def build_cont_traj(self, key=None):
+        if key is None:
+            if len(self.runs) != 1:
+                raise Exception("Multiple runs, must specify key")
+            key = list(self.runs.keys())[0]
+        if isinstance(key, dict) and "t" in key and "u" in key:
+            t, u = key["t"], key["u"]
+        else:
+            t, u = self.runs[key]["t"], self.runs[key]["u"]
+        u_full = []
+        for i in range(self.N):
+            traj = np.asarray(self.solver.run_F_full(t[i], t[i + 1], u[i, :]))
+            u_full.append(traj)
+        return np.vstack(u_full)
+
+    def clear_plot_obj(self):
+        self.runs = {}
+
+    def print_times(self, *args, **kwargs):
+        from nngparareal_tpu.reporting import print_times
+
+        return print_times(self, *args, **kwargs)
+
+    def print_speedup(self, *args, **kwargs):
+        from nngparareal_tpu.reporting import print_speedup
+
+        return print_speedup(self, *args, **kwargs)
+
+    def plot(self, *args, **kwargs):
+        from nngparareal_tpu.reporting import plot_run
+
+        return plot_run(self, *args, **kwargs)
+
+    def plot_all_err(self, *args, **kwargs):
+        from nngparareal_tpu.reporting import plot_all_err
+
+        return plot_all_err(self, *args, **kwargs)
+
+
+class PararealLight(Parareal):
+    """API-parity alias: the engine is already rolling-state O(N n)
+    (the reference's PararealLight, parareal.py:782-1071). History capture
+    and intermediate dumps are disabled like the reference."""
+
+    def _parareal(self, model, **kwargs):
+        kwargs["keep_history"] = False
+        if kwargs.get("store_int"):
+            raise NotImplementedError(
+                "PararealLight does not support storing intermediate results"
+            )
+        return super()._parareal(model, **kwargs)
+
+    def load_int_dump(self, *args, **kwargs):
+        raise NotImplementedError(
+            "PararealLight does not support loading from intermediate dumps"
+        )

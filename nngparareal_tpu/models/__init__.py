@@ -1,0 +1,14 @@
+from nngparareal_tpu.models.base import ModelBase, Dataset
+from nngparareal_tpu.models.bare import BareParareal
+from nngparareal_tpu.models.nngp import NNGParareal
+from nngparareal_tpu.models.gp import GParareal
+from nngparareal_tpu.models.elm import ELM
+
+__all__ = [
+    "ModelBase",
+    "Dataset",
+    "BareParareal",
+    "NNGParareal",
+    "GParareal",
+    "ELM",
+]

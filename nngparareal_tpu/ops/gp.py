@@ -1,0 +1,125 @@
+"""Gaussian-process linear algebra, batched and mask-padded for XLA.
+
+The reference trains one single-output GP per state coordinate with a
+squared-exponential kernel and selects hyperparameters by minimising the
+Cholesky negative log marginal likelihood (reference models.py:86-92,
+145-155, 240-252, 303-330). Here every kernel/Cholesky/NLL op takes an
+explicit validity mask so that datasets of *dynamic* size (they grow every
+parareal iteration) can live in fixed-capacity padded buffers: padded rows
+are replaced by identity rows in the Gram matrix and zeros in the targets,
+contributing exactly zero to both the solve and the log-determinant. This
+is what lets the whole hyperparameter search run as one static-shape
+batched program on the MXU instead of the reference's process-pool fan-out
+of scipy optimisations.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = float(jnp.log(2 * jnp.pi))
+
+
+def pairwise_sq_dists(x, y):
+    """Squared euclidean distances, (Nx, d) x (Ny, d) -> (Nx, Ny).
+
+    Matmul (MXU) form; clipped at zero against cancellation.
+    """
+    x2 = jnp.sum(x * x, axis=-1)
+    y2 = jnp.sum(y * y, axis=-1)
+    xy = x @ y.T
+    return jnp.maximum(x2[:, None] + y2[None, :] - 2.0 * xy, 0.0)
+
+
+def sq_dists_to(query, X):
+    """Squared distances of each row of X (CAP, d) to a single query (d,)."""
+    diff = X - query[None, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def k_se_log10(sqd, theta):
+    """SE kernel in log10 parameterisation: 10^sy * exp(-0.5 * 10^-sx * d2).
+
+    Matches the reference's nnGParareal kernel ``k_gauss``
+    (models.py:145-148); theta = (sigma_x, sigma_y) are log10-scale.
+    """
+    sigma_x, sigma_y = theta[0], theta[1]
+    return 10.0 ** sigma_y * jnp.exp(-0.5 * (10.0 ** (-sigma_x)) * sqd)
+
+
+def k_se_linear(sqd, theta):
+    """SE kernel in linear parameterisation: sy^2 * exp(-0.5 d2 / sx^2).
+
+    Matches the reference's full-GP (GParareal) kernel ``kernel_np``
+    (models.py:303-307).
+    """
+    sigma_x, sigma_y = theta[0], theta[1]
+    return (sigma_y ** 2) * jnp.exp(-0.5 * sqd / (sigma_x ** 2))
+
+
+def _masked_gram(K, mask, jitter_pow):
+    """Zero out padded rows/cols and put ones on their diagonal.
+
+    K: (M, M) raw kernel values, mask: (M,) 1.0 valid / 0.0 padding.
+    Returns K_masked + 10^jitter * I (jitter also on padded diagonal, which
+    keeps the padded block exactly lower-triangular-stable and contributes
+    log(sqrt(1 + 10^jitter)) ~ 0 only through masked-out logdet terms).
+    """
+    m2 = mask[:, None] * mask[None, :]
+    Km = K * m2 + jnp.diag(1.0 - mask)
+    M = K.shape[0]
+    return Km + (10.0 ** jitter_pow) * jnp.eye(M, dtype=K.dtype)
+
+
+def gp_fit(K, y, jitter_pow, mask):
+    """Cholesky fit of a masked GP: returns (L, alpha).
+
+    alpha solves (K_masked + 10^jitter I) alpha = y_masked. Padded entries
+    of alpha come out ~0 because their rows are identity and y is zeroed.
+    Reference: models.py:86-92 (_fit_gp_jit).
+    """
+    Kj = _masked_gram(K, mask, jitter_pow)
+    L = jnp.linalg.cholesky(Kj)
+    ym = y * mask
+    z = jax.scipy.linalg.solve_triangular(L, ym, lower=True)
+    alpha = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    return L, alpha
+
+
+def gp_nll(K, y, jitter_pow, mask):
+    """Masked negative log marginal likelihood.
+
+    nll = 0.5 y^T alpha + sum_valid log diag(L) + (count/2) log 2pi,
+    identical (up to padding) to the reference models.py:240-252 /
+    317-330. Non-finite values (failed Cholesky) map to +inf so that the
+    optimiser discards them, mirroring the reference's NaN->inf guard
+    (models.py:247-252, 324-330).
+    """
+    L, alpha = gp_fit(K, y, jitter_pow, mask)
+    ym = y * mask
+    count = jnp.sum(mask)
+    quad = 0.5 * jnp.dot(ym, alpha)
+    logdet = jnp.sum(jnp.where(mask > 0, jnp.log(jnp.diag(L)), 0.0))
+    nll = quad + logdet + 0.5 * count * _LOG_2PI
+    return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
+
+
+def gp_posterior_mean(k_star, alpha):
+    """Posterior mean k(X, x*)^T alpha; k_star already mask-consistent."""
+    return jnp.dot(k_star, alpha)
+
+
+def nll_from_sqd(sqd, y, theta, jitter_pow, mask, kernel):
+    """NLL given a precomputed squared-distance Gram matrix."""
+    K = kernel(sqd, theta)
+    return gp_nll(K, y, jitter_pow, mask)
+
+
+def predict_mean_from_sqd(sqd_xx, sqd_xq, y, theta, jitter_pow, mask, kernel):
+    """Posterior mean at a query from precomputed squared distances.
+
+    sqd_xx: (M, M) train/train, sqd_xq: (M,) train/query, y: (M,).
+    """
+    K = kernel(sqd_xx, theta)
+    L, alpha = gp_fit(K, y, jitter_pow, mask)
+    k_star = kernel(sqd_xq, theta) * mask
+    return gp_posterior_mean(k_star, alpha)

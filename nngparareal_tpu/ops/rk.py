@@ -1,0 +1,207 @@
+"""Fixed-step explicit Runge-Kutta kernels, TPU-first.
+
+Design (vs reference RK.py:146-203):
+
+* the stage loop is unrolled in Python at trace time (tableaus have at most
+  11 stages) so XLA sees one straight-line fused block per step, instead of
+  the reference's triple nested ``lax.fori_loop`` over tableau arrays;
+* the step loop is a ``lax.fori_loop`` (last-value) or ``lax.scan``
+  (trajectory) with the step time computed as ``t0 + n*dt`` (no
+  accumulation drift);
+* batching over time slices is plain ``jax.vmap`` of these kernels — the
+  whole parareal fine fan-out becomes one XLA program over a (N, dim)
+  state array, shardable over a device mesh along the slice axis;
+* huge step counts are paged on the host in chunks of ``thresh`` steps to
+  bound compile size/latency (reference solver.py:86-99 pages similarly,
+  though its chunk-size arithmetic re-runs full ``steps`` per page; here
+  paging is exact).
+
+All kernels are dtype-polymorphic; the package default is float64.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nngparareal_tpu.ops.butcher import get_tableau
+
+
+def rk_step(f, tableau, t, u, h):
+    """One explicit RK step for du/dt = f(t, u); stages unrolled."""
+    tab = get_tableau(tableau)
+    a, b, c = tab.a, tab.b, tab.c
+    ks = []
+    for i in range(tab.stages):
+        ui = u
+        for j in range(i):
+            aij = a[i][j]
+            if aij != 0.0:
+                ui = ui + (h * aij) * ks[j]
+        ks.append(f(t + c[i] * h, ui))
+    acc = None
+    for bi, ki in zip(b, ks):
+        if bi == 0.0:
+            continue
+        term = bi * ki
+        acc = term if acc is None else acc + term
+    return u + h * acc
+
+
+def integrate_last(f, tableau, t0, dt, steps, u0):
+    """Integrate ``steps`` fixed RK steps from (t0, u0); return final state.
+
+    ``steps`` must be a static Python int. Equivalent of reference
+    RK.py:146-174 (_RK_jax_last).
+    """
+    tab = get_tableau(tableau)
+    steps = int(steps)
+
+    def body(n, u):
+        t = t0 + n * dt
+        return rk_step(f, tab, t, u, dt)
+
+    return lax.fori_loop(0, steps, body, u0)
+
+
+def integrate_traj(f, tableau, t0, dt, steps, u0):
+    """Integrate and return the full trajectory, shape (steps+1, dim).
+
+    Equivalent of reference RK.py:178-203 (_RK_jax_all) on a uniform grid.
+    """
+    tab = get_tableau(tableau)
+    steps = int(steps)
+
+    def body(u, n):
+        t = t0 + n * dt
+        u_next = rk_step(f, tab, t, u, dt)
+        return u_next, u_next
+
+    _, traj = lax.scan(body, u0, jnp.arange(steps))
+    return jnp.concatenate([u0[None, :], traj], axis=0)
+
+
+def integrate_traj_times(f, tableau, t, u0):
+    """Trajectory on an arbitrary (possibly non-uniform) time grid ``t``."""
+    tab = get_tableau(tableau)
+
+    def body(u, ts):
+        t_n, t_np1 = ts
+        u_next = rk_step(f, tab, t_n, u, t_np1 - t_n)
+        return u_next, u_next
+
+    _, traj = lax.scan(body, u0, (t[:-1], t[1:]))
+    return jnp.concatenate([u0[None, :], traj], axis=0)
+
+
+def make_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True):
+    """Build ``step_fn(t0, t1, u0) -> u(t1)`` doing ``steps`` RK steps.
+
+    If ``steps > thresh`` the integration is paged on the host into chunks
+    of at most ``thresh`` steps (each chunk one jitted fori_loop), keeping
+    compile latency bounded for the reference's Nf ~ 1e6-1e9 fine solves
+    (reference solver.py:86-99, new_lib.py:57-74).
+    """
+    tab = get_tableau(tableau)
+    steps = int(steps)
+    thresh = int(thresh)
+
+    def chunk_fn(t0, dt, u0, n_chunk):
+        return integrate_last(f, tab, t0, dt, n_chunk, u0)
+
+    if jit:
+        chunk_fn = jax.jit(chunk_fn, static_argnums=(3,))
+
+    if steps <= thresh:
+        def run(t0, t1, u0):
+            dt = (t1 - t0) / steps
+            return chunk_fn(t0, dt, u0, steps)
+        return run
+
+    n_full, rem = divmod(steps, thresh)
+
+    def run_paged(t0, t1, u0):
+        dt = (t1 - t0) / steps
+        u = u0
+        for i in range(n_full):
+            u = chunk_fn(t0 + (i * thresh) * dt, dt, u, thresh)
+        if rem:
+            u = chunk_fn(t0 + (n_full * thresh) * dt, dt, u, rem)
+        return u
+
+    return run_paged
+
+
+def make_traj_integrator(f, tableau, steps, jit=True):
+    """Build ``traj_fn(t0, t1, u0) -> (steps+1, dim)`` trajectory kernel."""
+    tab = get_tableau(tableau)
+    steps = int(steps)
+
+    def run(t0, t1, u0):
+        dt = (t1 - t0) / steps
+        return integrate_traj(f, tab, t0, dt, steps, u0)
+
+    return jax.jit(run) if jit else run
+
+
+def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True):
+    """Build ``fan_out(t0s, t1s, U) -> (B, dim)``: the parareal fine fan-out.
+
+    One vmapped RK kernel over all B time slices at once — the TPU-native
+    replacement for the reference's MPI pool.map over slices
+    (reference parareal.py:310-315).
+    """
+    tab = get_tableau(tableau)
+    steps = int(steps)
+    thresh = int(thresh)
+
+    def chunk_fn(t0s, dts, U, n_chunk):
+        return jax.vmap(
+            lambda t0, dt, u0: integrate_last(f, tab, t0, dt, n_chunk, u0)
+        )(t0s, dts, U)
+
+    if jit:
+        chunk_fn = jax.jit(chunk_fn, static_argnums=(3,))
+
+    if steps <= thresh:
+        def run(t0s, t1s, U):
+            dts = (t1s - t0s) / steps
+            return chunk_fn(t0s, dts, U, steps)
+        return run
+
+    n_full, rem = divmod(steps, thresh)
+
+    def run_paged(t0s, t1s, U):
+        dts = (t1s - t0s) / steps
+        u = U
+        for i in range(n_full):
+            u = chunk_fn(t0s + (i * thresh) * dts, dts, u, thresh)
+        if rem:
+            u = chunk_fn(t0s + (n_full * thresh) * dts, dts, u, rem)
+        return u
+
+    return run_paged
+
+
+def integrate_last_numpy(f, tableau, t0, t1, steps, u0):
+    """Pure-numpy oracle used by the test-suite (independent of JAX)."""
+    import numpy as np
+
+    tab = get_tableau(tableau)
+    a, b, c = tab.a, tab.b, tab.c
+    steps = int(steps)
+    dt = (t1 - t0) / steps
+    u = np.asarray(u0, dtype=float).copy()
+    for n in range(steps):
+        t = t0 + n * dt
+        ks = []
+        for i in range(tab.stages):
+            ui = u.copy()
+            for j in range(i):
+                if a[i][j] != 0.0:
+                    ui = ui + dt * a[i][j] * ks[j]
+            ks.append(np.asarray(f(t + c[i] * dt, ui)))
+        acc = sum(bi * ki for bi, ki in zip(b, ks) if bi != 0.0)
+        u = u + dt * acc
+    return u

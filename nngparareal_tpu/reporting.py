@@ -1,0 +1,279 @@
+"""Timing tables, speedup calculators and diagnostic plots.
+
+Ports the behaviour of the reference reporting layer:
+print_times/print_speedup (reference parareal.py:636-758), the
+convergence/precision plot panels (parareal.py:513-634, 763-779) and the
+theoretical speedup calculators (article_lib.py:58-115).
+"""
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# theoretical speedup machinery (article_lib.py:58-115)
+# ---------------------------------------------------------------------------
+
+def est_serial(run, N):
+    """Estimated serial fine cost: per-slice fine time x N.
+
+    run['timings']['F_time_serial_avg'] accumulates one per-slice fine
+    time per iteration (K terms), so divide by K first.
+    """
+    k = max(run["k"], 1)
+    return run["timings"]["F_time_serial_avg"] / k * N
+
+
+def get_act_cost(run):
+    return run["timings"]["runtime"]
+
+
+def get_act_mdl_cost(run):
+    return run["timings"]["mdl_tot_t"]
+
+
+def calc_speedup(run, N=None, serial=None):
+    if serial is None:
+        if N is None:
+            raise Exception("Cannot compute speedup without either N or serial.")
+        serial = est_serial(run, N)
+    return serial / get_act_cost(run)
+
+
+def calc_exp_gp_cost(run, n_cores, d, n_jitter=9, **kwargs):
+    """Expected full-GP model cost on n_cores workers (article_lib.py:57-61)."""
+    Tm = run["timings"].get("avg_serial_train_time", 0.0)
+    return run["timings"]["mdl_pred_t"] + np.sum(
+        Tm * max(n_jitter * d / n_cores, 1)
+    )
+
+
+def calc_exp_nngp_cost_rough(run, n_cores, N, d, n_jitter=9, n_restarts=1, **kw):
+    k = run["k"]
+    Tm = run["timings"].get("avg_serial_train_time", 0.0)
+    return k * (Tm * max((n_jitter * n_restarts * d) / n_cores, 1)) * (N - (k + 1) / 2)
+
+
+def calc_exp_nngp_cost_precise(run, n_cores, N, d, n_jitter=9, n_restarts=1, **kw):
+    Tm = run["timings"].get("avg_serial_train_time", 0.0)
+    conv_int = np.array([0] + list(run["conv_int"][:-1]))
+    return float(
+        ((N - conv_int) * (Tm * max((n_jitter * n_restarts * d) / n_cores, 1))).sum()
+    )
+
+
+def calc_exp_speedup(run, mdl_cost_fn, N, **kwargs):
+    serial = est_serial(run, N)
+    Tf = run["timings"]["F_time_serial_avg"]
+    Tg = run["timings"]["G_time"]
+    return serial / (Tf + Tg + mdl_cost_fn(run, N=N, **kwargs))
+
+
+# ---------------------------------------------------------------------------
+# tables (parareal.py:636-758)
+# ---------------------------------------------------------------------------
+
+def print_times(p, mdl_speedup=None, expected_fine=None):
+    """Markdown table of G/F/model/total times + speedup per stored run."""
+    if mdl_speedup is None and p.fine is None:
+        fine, fine_t = p.solver.run_F_timed(p.tspan[0], p.tspan[-1], p.u0)
+        p.fine, p.fine_t = np.asarray(fine), fine_t
+
+    use_mdl_speedup = False
+    s_ref = None
+    if mdl_speedup is not None and mdl_speedup in p.runs:
+        s_ref = p.runs[mdl_speedup]["timings"]["mdl_tot_t"]
+        use_mdl_speedup = True
+
+    cols = ["Model", "K", "G", "F", "Train", "Pred", "Mdl Tot", "Overall", "Speedup"]
+    if use_mdl_speedup:
+        cols[-1] = "Mdl Speedup"
+    fmt = lambda x: f"{x:.2e}"
+    attrs = ["G_time", "F_time", "mdl_train_t", "mdl_pred_t", "mdl_tot_t", "runtime"]
+
+    rows = []
+    if use_mdl_speedup:
+        rows.append(["Fine", "-", "-", "-", "-", "-", "-", "-", "-"])
+    else:
+        rows.append(
+            ["Fine", "-", "-", "-", "-", "-", "-", fmt(p.fine_t), "1"]
+        )
+    for name, v in p.runs.items():
+        row = [name, str(v["k"])]
+        row += [fmt(v["timings"][a]) for a in attrs]
+        if use_mdl_speedup:
+            row.append(f"{s_ref / v['timings']['mdl_tot_t']:.2f}")
+        else:
+            row.append(f"{p.fine_t / v['timings']['runtime']:.2f}")
+        rows.append(row)
+
+    widths = [
+        max(len(cols[i]), max(len(r[i]) for r in rows)) for i in range(len(cols))
+    ]
+    lines = ["|" + "|".join(f"{c:^{widths[i]}}" for i, c in enumerate(cols)) + "|"]
+    lines.append("|" + "|".join("-" * w for w in widths) + "|")
+    for r in rows:
+        lines.append("|" + "|".join(f"{c:^{widths[i]}}" for i, c in enumerate(r)) + "|")
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+def print_speedup(p, mdls=None, md=True, fine_t=None, F_t=None, mdl_title=""):
+    """Markdown or LaTeX speedup table (parareal.py:697-758)."""
+    out = []
+    if md:
+        beg, end, sep, F, G = "|", "|", " | ", "F", "G"
+    else:
+        beg, end, sep = "", r"\\", " & "
+        F, G = r"$T_{\f}$", r"$T_{\g}$"
+    fmt = lambda x: f"{x:.2e}"
+    out.append(["Model", "K", G, F, "Model", "Total", "Speed-up"])
+    n_cols = len(out[0])
+    if F_t is not None:
+        fine_t = F_t * p.N
+    out.append(["---"] * n_cols if md else [r"\hline"])
+    if fine_t is None:
+        fine_t = p.fine_t
+    if fine_t is None:
+        raise Exception("Running time of fine solver unknown/not provided")
+    mdl_map = {"GP": "GParareal", "NNGP": "NN-GParareal"}
+    out.append(["Fine", "-", "-", "-", "-", fmt(fine_t), "1"])
+    if mdls is None:
+        mdls = {i: i for i in p.runs}
+    for key, label in mdls.items():
+        if key not in p.runs:
+            raise Exception("Unknown model", key)
+        r = p.runs[key]
+        if F_t is not None:
+            tot = F_t * r["k"] + r["timings"]["mdl_tot_t"]
+            speedup = f"{fine_t / tot:.2f}"
+        else:
+            speedup = f"{fine_t / r['timings']['runtime']:.2f}"
+        out.append(
+            [
+                mdl_map.get(label, label),
+                str(r["k"]),
+                fmt(r["timings"]["G_time"] / r["k"]),
+                fmt(r["timings"]["F_time"] / r["k"]),
+                fmt(r["timings"]["mdl_tot_t"]),
+                fmt(r["timings"]["runtime"]),
+                speedup,
+            ]
+        )
+    out = [[str(j) for j in i] for i in out]
+    out = [beg + sep.join(i) + end for i in out]
+    if not md:
+        res = [r"\caption*{" + mdl_title + r", $N=" + f"{p.N}" + r"$}"]
+        res.append(r"\begin{tabular}{lcccccc}")
+        res.extend(out)
+        res.append(r"\end{tabular}\\    \bigskip" + "\n")
+        out = res
+    else:
+        out = [f"$N={p.N}$\n"] + out
+    out = "\n".join(out)
+    print(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# plots (parareal.py:513-634, 763-779)
+# ---------------------------------------------------------------------------
+
+def conv_intervals_per_iter(err, epsilon):
+    """Converged-intervals-per-iteration reconstruction from the err matrix
+    (parareal.py:596-610)."""
+    idx = 1
+    out = np.full(err.shape[1], np.nan)
+    one_step = np.full(err.shape[1], np.nan)
+    for i in range(err.shape[1]):
+        one_step[i] = err[np.argmax(err[:, i] > 0), i]
+        if not np.any(err[idx:, i] >= epsilon):
+            n_conv = err.shape[0] - idx
+        else:
+            n_conv = np.argmax(err[idx:, i] >= epsilon)
+            n_conv = n_conv if err[idx + n_conv, i] else err.shape[0] - idx
+            idx += n_conv
+        out[i] = n_conv
+    return out, one_step
+
+
+def plot_run(p, skip=(), add_name=True, add_title=""):
+    import matplotlib.pyplot as plt
+    from cycler import cycler
+
+    if len(add_title):
+        add_title = add_title + " - "
+    figs = []
+
+    if 2 not in skip:
+        fig, ax = plt.subplots()
+        for name, run in p.runs.items():
+            err = run["err"]
+            x_plot = np.arange(1, err.shape[-1] + 1)
+            y_plot = np.log10(np.nanmax(err, axis=0))
+            (line,) = ax.plot(x_plot, y_plot, linewidth=0.5, label=name)
+            ax.scatter(x_plot, y_plot, s=1, color=line.get_color())
+        ax.set_ylabel("Max. absolute error (log)")
+        ax.axhline(
+            np.log10(p.epsilon), linestyle="dashed", color="gray",
+            linewidth=1, label="Tolerance",
+        )
+        ax.legend()
+        ax.set_xlabel("$k$")
+        title = "Max. abs. error over parareal iterations"
+        fig.suptitle(f"{p.ode_name} - {add_title}{title}" if add_name else title)
+        fig.tight_layout()
+        figs.append(fig)
+
+    if 3 not in skip:
+        cols = ["b", "g", "r", "c", "m", "y", "k"]
+        styles = ["solid", "dotted", "dashed", "dashdot"]
+        fig, ax = plt.subplot_mosaic("AAA.BBCC", constrained_layout=True)
+        cycl = cycler(linestyle=styles, lw=[0.5, 1, 1, 1]) * cycler(color=cols)
+        for a in "ABC":
+            ax[a].set_prop_cycle(cycl)
+        for name, run in p.runs.items():
+            err = run["err"]
+            x_plot = np.arange(1, err.shape[-1] + 1)
+            out, one_step = conv_intervals_per_iter(err, p.epsilon)
+            (l1,) = ax["B"].plot(x_plot, out, label=name)
+            ax["B"].scatter(x_plot, out, s=1, color=l1.get_color())
+            (l2,) = ax["A"].plot(x_plot, np.cumsum(out), label=name[:18])
+            ax["A"].scatter(x_plot, np.cumsum(out), s=1, color=l2.get_color())
+            (l3,) = ax["C"].plot(x_plot, np.log10(one_step), label=name)
+            ax["C"].scatter(x_plot, np.log10(one_step), s=1, color=l3.get_color())
+        ax["B"].set_title("# Converged Intervals per iteration")
+        ax["C"].set_title("Error on 1st interval")
+        ax["A"].axhline(p.N, linestyle="dashed", color="gray", linewidth=1)
+        ax["C"].axhline(
+            np.log10(p.epsilon), linestyle="dashed", color="gray", linewidth=1
+        )
+        leg = ax["A"].legend(loc="upper left", bbox_to_anchor=(1, 1), fontsize="small")
+        leg.set_in_layout(False)
+        ax["B"].set_xlabel("$k$")
+        ax["C"].set_xlabel("$k$")
+        title = "# Converged Intervals"
+        ax["A"].set_title(f"{p.ode_name} - {add_title}{title}" if add_name else title)
+        figs.append(fig)
+
+    return figs
+
+
+def plot_all_err(p, key):
+    import matplotlib.pyplot as plt
+
+    if key not in p.runs or not p.runs[key]["debug_dict"]:
+        return None
+    figs = []
+    for idx, pred_err in enumerate(p.runs[key]["debug_dict"]["all_pred_err"]):
+        fig, ax = plt.subplots()
+        ax.plot(np.max(np.log10(pred_err), axis=1), label="true err comp")
+        l = p.runs[key]["err"][:, idx]
+        start = (l != 0).argmax()
+        ax.plot(np.log10(l[start:]), label="conv err")
+        for y, c in [(-6, "gray"), (-8, "black"), (-10, "gray")]:
+            ax.axhline(y, ls="dashed", lw=1, color=c)
+        ax.set_title(idx + 1)
+        ax.legend()
+        figs.append(fig)
+    return figs

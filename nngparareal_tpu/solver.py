@@ -1,0 +1,165 @@
+"""Coarse/fine propagator abstraction.
+
+Equivalent surface to the reference SolverAbstr/SolverRK/SolverScipy
+(reference solver.py:29-148) redesigned around batching:
+
+* ``run_F`` / ``run_G`` integrate one slice;
+* ``run_F_batch`` integrates *all* slices at once (one vmapped XLA
+  program, shardable over a mesh) — the replacement for the MPI pool.map
+  fan-out (reference parareal.py:310-315);
+* ``run_G_chain`` runs the inherently-sequential coarse initialisation
+  over all slices as a single ``lax.scan`` (reference parareal.py:264-277
+  does this as a Python loop of jitted calls);
+* ``coarse_step_raw`` / ``fine_step_raw`` are untraced building blocks the
+  parareal sweep kernel fuses into its own scan body.
+
+Step counts Ng/Nf are per-slice (the reference Config divides totals by N,
+configs.py:16). Paging via ``thresh`` bounds compile size for huge Nf
+(reference solver.py:86-99).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nngparareal_tpu.ops.butcher import get_tableau
+from nngparareal_tpu.ops.rk import (
+    integrate_last,
+    integrate_traj,
+    make_last_integrator,
+    make_batched_last_integrator,
+    make_traj_integrator,
+)
+from nngparareal_tpu.utils.timing import wall_timed
+
+
+class SolverAbstr:
+    def run_F(self, t0, t1, u0):
+        raise NotImplementedError
+
+    def run_G(self, t0, t1, u0):
+        raise NotImplementedError
+
+    def run_F_full(self, t0, t1, u0):
+        raise NotImplementedError
+
+    def run_G_full(self, t0, t1, u0):
+        raise NotImplementedError
+
+    def run_F_timed(self, t0, t1, u0):
+        return wall_timed(self.run_F)(t0, t1, u0)
+
+    def run_G_timed(self, t0, t1, u0):
+        return wall_timed(self.run_G)(t0, t1, u0)
+
+    def run_F_full_timed(self, t0, t1, u0):
+        return wall_timed(self.run_F_full)(t0, t1, u0)
+
+    def run_G_full_timed(self, t0, t1, u0):
+        return wall_timed(self.run_G_full)(t0, t1, u0)
+
+
+class RKSolver(SolverAbstr):
+    def __init__(self, f, Ng, Nf, G="RK1", F="RK4", thresh=int(1e7), **kwargs):
+        self.f = f
+        self.Ng = int(Ng)
+        self.Nf = int(Nf)
+        self.G = get_tableau(G)
+        self.F = get_tableau(F)
+        self.thresh = int(thresh)
+
+        self._fine_last = make_last_integrator(f, self.F, self.Nf, self.thresh)
+        self._coarse_last = make_last_integrator(f, self.G, self.Ng, self.thresh)
+        self._fine_batch = make_batched_last_integrator(
+            f, self.F, self.Nf, self.thresh
+        )
+        self._fine_traj = make_traj_integrator(f, self.F, self.Nf)
+        self._coarse_traj = make_traj_integrator(f, self.G, self.Ng)
+        self._chain_cache = {}
+
+    # --- single-slice API (reference solver.py:102-113) ---
+
+    def run_F(self, t0, t1, u0):
+        return self._fine_last(t0, t1, jnp.asarray(u0))
+
+    def run_G(self, t0, t1, u0):
+        return self._coarse_last(t0, t1, jnp.asarray(u0))
+
+    def run_F_full(self, t0, t1, u0):
+        return self._fine_traj(t0, t1, jnp.asarray(u0))
+
+    def run_G_full(self, t0, t1, u0):
+        return self._coarse_traj(t0, t1, jnp.asarray(u0))
+
+    # --- batched / fused API (TPU-native additions) ---
+
+    def run_F_batch(self, t0s, t1s, U):
+        """Fine-solve all slices at once: (B,), (B,), (B, n) -> (B, n)."""
+        return self._fine_batch(jnp.asarray(t0s), jnp.asarray(t1s), jnp.asarray(U))
+
+    def coarse_step_raw(self, t0, dt_slice, u0):
+        """Traceable one-slice coarse solve (used inside the sweep scan)."""
+        dt = dt_slice / self.Ng
+        return integrate_last(self.f, self.G, t0, dt, self.Ng, u0)
+
+    def fine_step_raw(self, t0, dt_slice, u0):
+        dt = dt_slice / self.Nf
+        return integrate_last(self.f, self.F, t0, dt, self.Nf, u0)
+
+    def run_G_chain(self, t, u0):
+        """Sequential coarse init over all N slices as one lax.scan.
+
+        t: (N+1,) uniform grid. Returns (N+1, n) with row 0 = u0.
+        (reference parareal.py:264-277)
+        """
+        N = int(t.shape[0]) - 1
+        key = ("chain", N)
+        if key not in self._chain_cache:
+            def chain(t0s, dt_slice, u0):
+                def body(u, t0):
+                    u_next = self.coarse_step_raw(t0, dt_slice, u)
+                    return u_next, u_next
+
+                _, traj = lax.scan(body, u0, t0s)
+                return jnp.concatenate([u0[None, :], traj], axis=0)
+
+            self._chain_cache[key] = jax.jit(chain)
+        dt_slice = (t[-1] - t[0]) / N
+        return self._chain_cache[key](jnp.asarray(t[:-1]), dt_slice, jnp.asarray(u0))
+
+
+class ScipySolver(SolverAbstr):
+    """Adaptive scipy fine solver for host-side validation
+    (reference solver.py:116-148). Nf is a soft constraint; the coarse
+    solver delegates to RKSolver."""
+
+    _MAP = {"RK2": "RK23", "RK4": "RK45", "RK8": "DOP853"}
+
+    def __init__(self, f, Ng, Nf, G="RK1", F="RK45", **kwargs):
+        self.f = f
+        self.Ng = int(Ng)
+        self.Nf = int(Nf)
+        self.F = self._MAP.get(str(F).upper(), F)
+        self.kwargs = kwargs
+        self.rk = RKSolver(f, Ng, Nf, G=G, F="RK4")
+
+    def run_F(self, t0, t1, u0):
+        from scipy.integrate import solve_ivp
+
+        def f_np(t, u):
+            return np.asarray(self.f(t, jnp.asarray(u)))
+
+        res = solve_ivp(
+            f_np, [t0, t1], np.asarray(u0), method=self.F, t_eval=(t1,),
+            max_step=(t1 - t0) / self.Nf, **self.kwargs,
+        )
+        if res.nfev > self.Nf * 1.5:
+            print(
+                f"Warning: F solver did {res.nfev / self.Nf:0.1f}x more steps "
+                "than expected"
+            )
+        return res.y.reshape(-1)
+
+    def run_G(self, t0, t1, u0):
+        return self.rk.run_G(t0, t1, u0)
