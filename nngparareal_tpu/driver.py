@@ -247,6 +247,8 @@ class Parareal:
         if warmup:
             _block(fanout(t_dev[:-1], t_dev[1:], jnp.tile(u0_dev, (N, 1))))
             _block(solver.run_G_chain(t_dev, u0_dev))
+            if measure_serial_fine:
+                _block(solver.run_F(t[0], t[1], u0_dev))
             saved = model.get_ckpt_state()
             if model.needs_dataset:
                 model.fit(ds, 0)

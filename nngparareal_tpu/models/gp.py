@@ -123,41 +123,57 @@ class GParareal(ModelBase):
 
     # --- model protocol ---
 
+    @staticmethod
+    def _bucket(rows, cap):
+        """Smallest power-of-two >= rows (capped): bounds jit retraces to
+        O(log K) while the Cholesky cost tracks the true dataset size."""
+        b = 1
+        while b < rows:
+            b *= 2
+        return min(b, cap)
+
     def fit(self, ds, k):
         self.k = int(k)
         nj = len(self._jitters)
-        fit_warm, alphas, make_obj = self._get_fns(ds.capacity)
+        # occupied rows are [0, (k+1)*N); train on the smallest bucket
+        rows = min((k + 1) * self.N, ds.capacity)
+        B = self._bucket(rows, ds.capacity)
+        dsX, dsD, dsV = ds.X[:B], ds.D[:B], ds.valid[:B]
+        fit_warm, alphas, make_obj = self._get_fns(B)
 
         x0 = np.repeat(self.thetas, nj, axis=0)  # (n*nj, 2) coord-major
-        th, jv, fv = fit_warm(ds.X, ds.D, ds.valid, jnp.asarray(x0))
+        th, jv, fv = fit_warm(dsX, dsD, dsV, jnp.asarray(x0))
         th, jv, fv = np.asarray(th), np.asarray(jv), np.asarray(fv)
 
         bad = np.where(~np.isfinite(fv))[0]
         if bad.size:
-            th, jv, fv = self._rescue(ds, th, jv, fv, bad)
+            th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
 
         self.thetas = th
         self.jitter_sel = jv
         self.hyp[..., min(k + 1, self.N - 1)] = th
-        alpha = alphas(ds.X, ds.D, ds.valid, jnp.asarray(th), jnp.asarray(jv))
+        alpha = alphas(dsX, dsD, dsV, jnp.asarray(th), jnp.asarray(jv))
+        # zero-pad alpha back to capacity: padded k_star rows hit zeros
+        alpha_full = jnp.zeros((self.n, ds.capacity))
+        alpha_full = alpha_full.at[:, :B].set(alpha)
         self.state = (
             jnp.asarray(th),
             jnp.asarray(jv),
-            jnp.asarray(alpha),
+            alpha_full,
         )
         return None
 
-    def _rescue(self, ds, th, jv, fv, bad, depth=0):
+    def _rescue(self, dsX, dsD, dsV, th, jv, fv, bad, depth=0):
         """Random-restart rescue for +inf coords (models.py:358-384)."""
         if depth > 20:
             raise RuntimeError("GP random-restart rescue failed to find a finite NLL")
         nj = len(self._jitters)
         tot_rnd = max(3, int(self.N / 9))
         jitters = jnp.asarray(self._jitters)
-        sqd_xx = gpops.pairwise_sq_dists(ds.X, ds.X)
+        sqd_xx = gpops.pairwise_sq_dists(dsX, dsX)
 
         for j in bad:
-            y = ds.D[:, int(j)]
+            y = dsD[:, int(j)]
             starts = 10.0 ** self.rng.uniform(-4, 1, (tot_rnd * nj, 2))
             jit_tasks = jnp.tile(jitters, tot_rnd)
 
@@ -165,7 +181,7 @@ class GParareal(ModelBase):
                 def per_task(th_c, jit_pow):
                     return jax.vmap(
                         lambda t: gpops.nll_from_sqd(
-                            sqd_xx, _y, t, jit_pow, ds.valid, gpops.k_se_linear
+                            sqd_xx, _y, t, jit_pow, dsV, gpops.k_se_linear
                         )
                     )(th_c)
                 return jax.vmap(per_task)(thetas, _jt)

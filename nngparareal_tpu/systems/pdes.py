@@ -38,7 +38,13 @@ class FHNPDE(ODE):
     """FitzHugh-Nagumo 2-species 2D reaction-diffusion PDE, periodic BC,
     d = 2*dx*dy (reference systems.py:291-398). The initial condition
     reproduces the reference's legacy-seeded numpy draw
-    (systems.py:303-316) bit-for-bit."""
+    (systems.py:303-316) bit-for-bit.
+
+    TPU-native: the reference applies the Laplacian as a dense Kronecker
+    matvec (systems.py:322-353). Here it is a 5-point periodic stencil via
+    jnp.roll on the (d_y, d_x) grid — pure VPU work that vmaps over time
+    slices without any f64 matmul emulation. ``dense_laplacian()`` exposes
+    the reference operator as a test oracle."""
 
     def __init__(self, d_x, seed=45, **kwargs):
         self.d_x = int(d_x)
@@ -46,12 +52,8 @@ class FHNPDE(ODE):
         d = 2 * self.d_x * self.d_y
         self.d = d
 
-        h_x = 2.0 / (self.d_x - 1)
-        h_y = 2.0 / (self.d_y - 1)
-        Dxx = _periodic_second_diff(self.d_x, h_x)
-        Dyy = _periodic_second_diff(self.d_y, h_y)
-        lap = np.kron(np.eye(self.d_y), Dxx) + np.kron(Dyy, np.eye(self.d_x))
-        self._lap = jnp.asarray(lap)
+        self._hx2 = (2.0 / (self.d_x - 1)) ** 2
+        self._hy2 = (2.0 / (self.d_y - 1)) ** 2
 
         mn, mx = np.array([[-1.0] * d, [1.0] * d])
 
@@ -66,37 +68,68 @@ class FHNPDE(ODE):
 
         super().__init__(f"FHN_PDE_{d_x}", mn, mx, u0, **kwargs)
 
+    def _lap_stencil(self, g):
+        """Periodic 5-point Laplacian of g with shape (d_y, d_x)."""
+        gxx = (jnp.roll(g, -1, axis=-1) - 2.0 * g + jnp.roll(g, 1, axis=-1)) / self._hx2
+        gyy = (jnp.roll(g, -1, axis=-2) - 2.0 * g + jnp.roll(g, 1, axis=-2)) / self._hy2
+        return gxx + gyy
+
+    def dense_laplacian(self):
+        """Reference-style dense Kronecker operator (test oracle)."""
+        h_x = 2.0 / (self.d_x - 1)
+        h_y = 2.0 / (self.d_y - 1)
+        Dxx = _periodic_second_diff(self.d_x, h_x)
+        Dyy = _periodic_second_diff(self.d_y, h_y)
+        return np.kron(np.eye(self.d_y), Dxx) + np.kron(Dyy, np.eye(self.d_x))
+
     def _f(self, t, u):
-        lap = self._lap
-        d = lap.shape[0]
-        u1, u2 = u[:d], u[d:]
+        d = self.d_x * self.d_y
+        u1 = u[:d].reshape(self.d_y, self.d_x)
+        u2 = u[d:].reshape(self.d_y, self.d_x)
         a, b, k, tau = 2.8e-4, 5e-3, -5e-3, 0.1
-        U = a * (lap @ u1) + u1 - u1 ** 3 - u2 + k
-        V = (1.0 / tau) * (b * (lap @ u2) + u1 - u2)
-        return jnp.concatenate([U, V])
+        U = a * self._lap_stencil(u1) + u1 - u1 ** 3 - u2 + k
+        V = (1.0 / tau) * (b * self._lap_stencil(u2) + u1 - u2)
+        return jnp.concatenate([U.reshape(-1), V.reshape(-1)])
 
 
 class Burgers(ODE):
     """Viscous Burgers 1D, periodic BC, nu=1/100, d=d_x
-    (reference systems.py:402-459). u0 = 0.5(cos(4.5 pi x) + 1)."""
+    (reference systems.py:402-459). u0 = 0.5(cos(4.5 pi x) + 1).
+
+    TPU-native: the reference's tridiagonal-with-corners Dxx/Dx matvecs
+    (systems.py:421-442) become 3-point periodic stencils via jnp.roll —
+    VPU shifts instead of emulated f64 matmuls. ``dense_operators()``
+    returns the reference matrices as a test oracle."""
 
     def __init__(self, d_x, nu=1.0 / 100.0, **kwargs):
         self.d_x = int(d_x)
         self.nu = float(nu)
         d = self.d_x
         self.d = d
-
         h = 2.0 / (d - 1)
-        self._Dxx = jnp.asarray(nu * _periodic_second_diff(d, h))
-        self._Dx = jnp.asarray(_periodic_first_diff(d, h))
+        self._h = h
+        self._inv_h2 = nu / (h * h)
+        self._inv_2h = 1.0 / (2.0 * h)
 
         mn, mx = np.array([[0.0] * d, [1.0] * d])
         x = np.linspace(-1.0, 1.0, num=d)
         u0 = 0.5 * (np.cos(4.5 * np.pi * x) + 1.0)
         super().__init__(f"Burgers_{d_x}", mn, mx, u0, **kwargs)
 
+    def dense_operators(self):
+        """Reference-style (Dxx, Dx) dense matrices (test oracle)."""
+        h = self._h
+        return (
+            self.nu * _periodic_second_diff(self.d_x, h),
+            _periodic_first_diff(self.d_x, h),
+        )
+
     def _f(self, t, u):
-        return self._Dxx @ u - u * (self._Dx @ u)
+        up = jnp.roll(u, -1)  # u[i+1], periodic
+        um = jnp.roll(u, 1)   # u[i-1], periodic
+        u_xx = (up - 2.0 * u + um) * self._inv_h2
+        u_x = (up - um) * self._inv_2h
+        return u_xx - u * u_x
 
 
 class DiffReact(ODE):
