@@ -206,6 +206,17 @@ class Parareal:
     # the main loop
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _windowed_valid(valid, N, k, I, lag_k):
+        """v2-style lag_k training window (reference new_lib.py:980-987):
+        keep only rows from iterations [k+1-lag_k, k] with slice >= I."""
+        cap = valid.shape[0]
+        idx = jnp.arange(cap)
+        kk = idx // N
+        slice_i = idx % N
+        keep = (kk >= max(k + 1 - lag_k, 0)) & (kk <= k) & (slice_i >= I)
+        return valid * keep.astype(valid.dtype)
+
     def _parareal(
         self,
         model,
@@ -217,6 +228,7 @@ class Parareal:
         mesh=None,
         warmup=True,
         measure_serial_fine=True,
+        lag_k=None,
         int_dir="",
         int_name=None,
         _resume=None,
@@ -345,8 +357,15 @@ class Parareal:
                 break
 
             # --- 3. model fit (parareal.py:351) ---
+            if lag_k is not None and model.needs_dataset:
+                ds_fit = Dataset(
+                    ds.X, ds.D,
+                    self._windowed_valid(ds.valid, N, k, I, int(lag_k)),
+                )
+            else:
+                ds_fit = ds
             tic = time.perf_counter()
-            model.fit(ds, k)
+            model.fit(ds_fit, k)
             st = model.state_pytree()
             if st is not None:
                 _block(st)
@@ -361,7 +380,7 @@ class Parareal:
             u_next, uG_next, err_dev = _block(
                 sweep(
                     jnp.asarray(I), u_init, uG_init, uF, uG, u,
-                    ds.X, ds.D, ds.valid, model.state_pytree(), aux,
+                    ds_fit.X, ds_fit.D, ds_fit.valid, model.state_pytree(), aux,
                 )
             )
             dt_sweep = time.perf_counter() - tic

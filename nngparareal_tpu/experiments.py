@@ -1,0 +1,245 @@
+"""Config-driven replacements for the reference's experiment drivers (L6).
+
+Each function reproduces one of the paper's experiment setups with the
+exact hyperparameters of the corresponding reference script:
+
+* ``run_hopf``    — Hopf.py:60-92 (N in {32..512}, Nf x10000, GP
+                    fatol=1e-6, nnGP nn=15 n_restarts=2)
+* ``run_tomlab``  — TomLab.py:72-116 (T per N, GP fatol=1e-1,
+                    nnGP nn=18 fatol=1e-3)
+* ``run_burgers`` — Burgers.py:27-122 (d=N=128, T in {5, 5.9}, nnGP nn=18)
+* ``run_fhn_pde`` — FHN_PDE.py:34-175 (dx in {10..16}, N=512, nnGP nn=20)
+* ``run_table2``  — Table_2.py:24-47 (6 ODE systems, eps in {5e-7, 5e-9})
+* ``run_burgers_across_m`` — Burgers_perf_across_m.py (K vs m sweep)
+
+Where the reference fans runs over an MPI pool, these execute each model
+sequentially on the visible TPU mesh (each run is itself one SPMD
+program). Results are pickled under ``results/``.
+"""
+
+import os
+
+import numpy as np
+
+from nngparareal_tpu.systems import (
+    FHNODE, Rossler, Hopf, DblPend, Brusselator, Lorenz, ThomasLabyrinth,
+    FHNPDE, Burgers,
+)
+from nngparareal_tpu.systems.configs import Config
+from nngparareal_tpu.solver import RKSolver
+from nngparareal_tpu.driver import Parareal
+from nngparareal_tpu.reporting import est_serial, calc_speedup
+from nngparareal_tpu.utils.io import store_pickle
+
+
+MODELS_DEFAULT = ("parareal", "gpjax", "nngp")
+
+
+def _summarize(name, out, N):
+    return {
+        "name": name,
+        "k": out["k"],
+        "converged": out["converged"],
+        "runtime": out["timings"]["runtime"],
+        "F_time": out["timings"]["F_time"],
+        "G_time": out["timings"]["G_time"],
+        "mdl_tot_t": out["timings"]["mdl_tot_t"],
+        "est_serial": est_serial(out, N),
+        "speedup": calc_speedup(out, N=N),
+        "conv_int": out["conv_int"],
+        "err": out["err"],
+        "timings": out["timings"],
+    }
+
+
+def _run_models(p, model_kwargs, models, results_dir, tag, **common):
+    rows = []
+    for mdl in models:
+        kw = dict(common)
+        kw.update(model_kwargs.get(mdl, {}))
+        out = p.run(model=mdl, **kw)
+        rows.append(_summarize(mdl, out, p.N))
+        if results_dir:
+            store_pickle(rows, f"{tag}.pkl", results_dir)
+    return rows
+
+
+def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
+             store_int=False, fine_mult=10000):
+    """Hopf scalability (reference Hopf.py:60-92): Nf scaled x10000."""
+    ode = Hopf(normalization="-11")
+    cfg = Config(ode, N=N).get()
+    solver = RKSolver(
+        ode.get_vector_field(), cfg["Ng"], cfg["Nf"] * fine_mult,
+        G=cfg["G"], F=cfg["F"],
+    )
+    p = Parareal(ode, solver, cfg["tspan"], N, epsilon=5e-7)
+    model_kwargs = {
+        "gpjax": dict(theta=[1, 1], fatol=1e-6, xatol=1e-6),
+        "nngp": dict(fatol=1e-1, xatol=1e-1, nn=15, n_restarts=2, seed=45),
+    }
+    return _run_models(
+        p, model_kwargs, models, results_dir, f"hopf_{N}",
+        mesh=mesh, store_int=store_int,
+    )
+
+
+def run_tomlab(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
+               store_int=False):
+    """Thomas labyrinth scalability (reference TomLab.py:72-116)."""
+    ode = ThomasLabyrinth(normalization="-11")
+    cfg = Config(ode, N=N).get()
+    solver = RKSolver(
+        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+    )
+    p = Parareal(ode, solver, cfg["tspan"], N, epsilon=5e-7)
+    model_kwargs = {
+        "gpjax": dict(fatol=1e-1, xatol=1e-1),
+        "nngp": dict(nn=18, n_restarts=1, fatol=1e-3, xatol=1e-3, seed=45),
+    }
+    return _run_models(
+        p, model_kwargs, models, results_dir, f"tomlab_{N}",
+        mesh=mesh, store_int=store_int,
+    )
+
+
+def run_burgers(T=5.9, N=128, models=MODELS_DEFAULT, results_dir="results",
+                mesh=None, store_int=False, nn=18):
+    """Viscous Burgers d=N=128 (reference Burgers.py:27-122)."""
+    ode = Burgers(d_x=N, normalization="-11")
+    Ng = 4  # per-slice; totals Ng=4N
+    Nf = Ng * 10000
+    solver = RKSolver(ode.get_vector_field(), Ng, Nf, G="RK1", F="RK8")
+    p = Parareal(ode, solver, [0.0, T], N, epsilon=5e-7)
+    model_kwargs = {"nngp": dict(nn=nn)}
+    return _run_models(
+        p, model_kwargs, models, results_dir, f"burgers_{N}_T{T}",
+        mesh=mesh, store_int=store_int,
+    )
+
+
+def run_fhn_pde(dx, models=MODELS_DEFAULT, results_dir="results", mesh=None,
+                store_int=False):
+    """FHN 2D PDE, N=512, d=2*dx^2 (reference FHN_PDE.py:34-175)."""
+    ode = FHNPDE(d_x=dx, normalization="-11")
+    cfg = Config(ode, d_x=dx).get()
+    solver = RKSolver(
+        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+    )
+    p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=5e-7)
+    model_kwargs = {"nngp": dict(nn=20)}
+    return _run_models(
+        p, model_kwargs, models, results_dir, f"fhn_pde_{dx}",
+        mesh=mesh, store_int=store_int,
+    )
+
+
+_TABLE2_SYSTEMS = [
+    # (ctor, nn at 5e-7, nn at 5e-9) — Table_2.py:42-44
+    (FHNODE, 15, 13),
+    (Rossler, 15, 13),
+    (lambda **kw: Hopf(**kw), 15, 12),
+    (Brusselator, 14, 12),
+    (Lorenz, 14, 13),
+    (DblPend, 15, 14),
+]
+
+
+def run_table2(epsilon=5e-7, models=MODELS_DEFAULT, results_dir="results",
+               mesh=None):
+    """Iterations-to-convergence across 6 ODE systems (Table_2.py:24-47)."""
+    rows = []
+    for ctor, nn7, nn9 in _TABLE2_SYSTEMS:
+        nn = nn7 if epsilon == 5e-7 else nn9
+        ode = ctor(normalization="-11")
+        N_arg = 32 if isinstance(ode, Hopf) else None
+        cfg = Config(ode, N=N_arg).get()
+        solver = RKSolver(
+            ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+        )
+        p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=epsilon)
+        model_kwargs = {
+            "nngp": dict(nn=nn),
+            "gpjax": dict(fatol=1e-6, xatol=1e-6),
+        }
+        sys_rows = _run_models(
+            p, model_kwargs, models, None, "", mesh=mesh
+        )
+        rows.append({"system": ode.name, "epsilon": epsilon, "nn": nn,
+                     "runs": sys_rows})
+        if results_dir:
+            store_pickle(rows, f"table2_eps{epsilon:g}.pkl", results_dir)
+    return rows
+
+
+def run_burgers_across_m(ms=range(11, 31), seeds=range(100), T=5.9,
+                         results_dir="results", mesh=None):
+    """K and speedup distribution vs neighbour count m
+    (Burgers_perf_across_m.py:100-135)."""
+    rows = []
+    for m in ms:
+        for seed in seeds:
+            try:
+                res = run_burgers(
+                    T=T, models=("nngp",), results_dir=None, mesh=mesh, nn=m
+                )[0]
+                rows.append({"m": m, "seed": seed, "k": res["k"],
+                             "speedup": res["speedup"]})
+            except Exception as e:  # record failures as data rows
+                rows.append({"m": m, "seed": seed, "error": str(e)})
+            if results_dir:
+                store_pickle(rows, f"burgers_across_m_T{T}.pkl", results_dir)
+    return rows
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="nngparareal_tpu experiments")
+    ap.add_argument("experiment", choices=[
+        "hopf", "tomlab", "burgers", "fhn_pde", "table2", "burgers_m",
+    ])
+    ap.add_argument("--N", type=int, default=None)
+    ap.add_argument("--dx", type=int, default=None)
+    ap.add_argument("--T", type=float, default=5.9)
+    ap.add_argument("--epsilon", type=float, default=5e-7)
+    ap.add_argument("--models", nargs="+", default=list(MODELS_DEFAULT))
+    ap.add_argument("--results-dir", default="results")
+    ap.add_argument("--mesh-devices", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    mesh = None
+    if args.mesh_devices:
+        from nngparareal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
+
+    if args.experiment == "hopf":
+        rows = run_hopf(args.N or 32, tuple(args.models), args.results_dir, mesh)
+    elif args.experiment == "tomlab":
+        rows = run_tomlab(args.N or 32, tuple(args.models), args.results_dir, mesh)
+    elif args.experiment == "burgers":
+        rows = run_burgers(args.T, args.N or 128, tuple(args.models),
+                           args.results_dir, mesh)
+    elif args.experiment == "fhn_pde":
+        rows = run_fhn_pde(args.dx or 10, tuple(args.models),
+                           args.results_dir, mesh)
+    elif args.experiment == "table2":
+        rows = run_table2(args.epsilon, tuple(args.models), args.results_dir,
+                          mesh)
+    else:
+        rows = run_burgers_across_m(T=args.T, results_dir=args.results_dir,
+                                    mesh=mesh)
+
+    for r in rows if isinstance(rows, list) else [rows]:
+        if "runs" in r:
+            for rr in r["runs"]:
+                print(r["system"], rr["name"], "K =", rr["k"],
+                      f"speedup = {rr['speedup']:.2f}")
+        elif "k" in r:
+            print(r["name"], "K =", r["k"], f"speedup = {r.get('speedup', float('nan')):.2f}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
