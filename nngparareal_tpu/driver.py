@@ -202,6 +202,62 @@ class Parareal:
 
         return jax.jit(sweep)
 
+    def _make_host_sweep(self, model, cap):
+        """Host loop over intervals calling one jitted interval step.
+
+        Same contract as ``_make_sweep``. Used when the model's predict
+        contains an inner optimisation loop (Nelder-Mead while_loop) that
+        some TPU toolchains mis-compile when nested inside a long
+        ``lax.scan``; the host loop also skips converged intervals with
+        zero device work (exactly like the reference's ``for i in
+        range(I, N)``, parareal.py:359-382), at the cost of one dispatch
+        per interval.
+        """
+        solver = self.solver
+        N = self.N
+        t0_glob = self.tspan[0]
+        dt_slice = (self.tspan[1] - self.tspan[0]) / N
+
+        @jax.jit
+        def step(t_i, u_i, uF_ip1, uG_ip1, dsX, dsD, dsV, state, aux_i):
+            ds = Dataset(dsX, dsD, dsV)
+            uGn = solver.coarse_step_raw(t_i, dt_slice, u_i)
+            pred = model.predict_fn(state, ds, u_i, uF_ip1, uG_ip1, aux_i)
+            return pred + uGn, uGn
+
+        def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
+                  state, aux):
+            I = int(I)
+            u_rows = [u_init[i] for i in range(I + 1)]
+            uG_rows = [uG_init[i] for i in range(I + 1)]
+            for i in range(I, N):
+                u_ip1, uG_ip1 = step(
+                    t0_glob + i * dt_slice, u_rows[i], uF_k[i + 1],
+                    uG_k[i + 1], dsX, dsD, dsV, state, aux[i],
+                )
+                u_rows.append(u_ip1)
+                uG_rows.append(uG_ip1)
+            u_next = jnp.stack(u_rows)
+            uG_next = jnp.stack(uG_rows)
+            err = jnp.max(jnp.abs(u_next - u_prev), axis=1)
+            err = err.at[I].set(0.0)
+            return u_next, uG_next, err
+
+        return sweep
+
+    @staticmethod
+    def _resolve_sweep_mode(sweep_mode, model):
+        if sweep_mode != "auto":
+            return sweep_mode
+        backend = jax.default_backend()
+        has_inner_loop = (
+            getattr(model, "optimizer", None) == "nm" and model.needs_dataset
+            and isinstance(model, NNGParareal)
+        )
+        if backend != "cpu" and has_inner_loop:
+            return "host"
+        return "scan"
+
     # ------------------------------------------------------------------
     # the main loop
     # ------------------------------------------------------------------
@@ -229,6 +285,7 @@ class Parareal:
         warmup=True,
         measure_serial_fine=True,
         lag_k=None,
+        sweep_mode="auto",
         int_dir="",
         int_name=None,
         _resume=None,
@@ -243,11 +300,17 @@ class Parareal:
 
         fanout = self._make_fanout(mesh)
         sweep_cache = {}
+        sweep_mode = self._resolve_sweep_mode(sweep_mode, model)
 
         def get_sweep(cap, sig):
             key = (cap, sig)
             if key not in sweep_cache:
-                sweep_cache[key] = self._make_sweep(model, cap)
+                make = (
+                    self._make_host_sweep
+                    if sweep_mode == "host"
+                    else self._make_sweep
+                )
+                sweep_cache[key] = make(model, cap)
             return sweep_cache[key]
 
         cap0 = N * max(1, min(N, 32 if cap_iters is None else int(cap_iters)))

@@ -39,6 +39,8 @@ class NNGParareal(ModelBase):
         fatol=None,
         xatol=None,
         nm_max_iters=200,
+        optimizer="nm",
+        grid_refine=2,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -49,15 +51,22 @@ class NNGParareal(ModelBase):
         self.fatol = 1e-1 if fatol is None else float(fatol)
         self.xatol = 1e-1 if xatol is None else float(xatol)
         self.nm_max_iters = int(nm_max_iters)
+        # 'nm': batched Nelder-Mead from random integer starts (parity with
+        # the reference, models.py:185-226). 'grid': dense integer-grid NLL
+        # search over the same support [-8,0)^2 plus `grid_refine` local
+        # halving refinements — deterministic straight-line code (no inner
+        # while_loop), the BASELINE.json north-star formulation.
+        self.optimizer = str(optimizer)
+        self.grid_refine = int(grid_refine)
         self.k = 0
 
         jitters = np.arange(-20.0, -11.0)  # 9 values (models.py:186)
         coords = np.arange(self.n)
-        restarts = np.arange(self.n_restarts)
+        n_rest = self.n_restarts if self.optimizer == "nm" else 1
         # task order (coord, jitter, restart), coord-major like the
         # reference's itertools.product (models.py:190)
         grid = np.array(
-            [(c, j) for c in coords for j in jitters for _ in restarts]
+            [(c, j) for c in coords for j in jitters for _ in range(n_rest)]
         )
         self._coord_idx = jnp.asarray(grid[:, 0].astype(np.int32))
         self._jitter_vals = jnp.asarray(grid[:, 1])
@@ -83,9 +92,56 @@ class NNGParareal(ModelBase):
 
     def sweep_aux(self, k, N):
         """Random NM starts theta0 ~ integers[-8, 0) per (interval, task),
-        matching the reference's per-task draws (models.py:192)."""
+        matching the reference's per-task draws (models.py:192). Grid mode
+        is deterministic and needs no aux."""
+        if self.optimizer == "grid":
+            return None
         draws = self.rng.integers(-8, 0, size=(N, self.B, 2)).astype(float)
         return jnp.asarray(draws)
+
+    def _optimize_thetas(self, sqd_xx, ym, mask, aux_i):
+        """Per-task theta selection; returns (thetas (B,2), fvals (B,))."""
+        coord_idx, jitter_vals = self._coord_idx, self._jitter_vals
+
+        def task_nll_batch(theta_c, coord, jit_pow):
+            y = jnp.take(ym, coord, axis=1)
+            return jax.vmap(
+                lambda th: gpops.nll_from_sqd(
+                    sqd_xx, y, th, jit_pow, mask, gpops.k_se_log10
+                )
+            )(theta_c)
+
+        if self.optimizer == "grid":
+            g = jnp.arange(-8.0, 0.0)
+            gx, gy = jnp.meshgrid(g, g)
+            grid0 = jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (64, 2)
+
+            def eval_grid(grids):  # (B, G, 2) -> best (B,2), (B,)
+                fv = jax.vmap(task_nll_batch)(grids, coord_idx, jitter_vals)
+                best = jnp.argmin(fv, axis=1)
+                th = jnp.take_along_axis(grids, best[:, None, None], 1)[:, 0, :]
+                f = jnp.take_along_axis(fv, best[:, None], 1)[:, 0]
+                return th, f
+
+            grids = jnp.broadcast_to(grid0[None], (self.B,) + grid0.shape)
+            th, fv = eval_grid(grids)
+            step = 0.5
+            for _ in range(self.grid_refine):
+                offs = jnp.array([-step, 0.0, step])
+                ox, oy = jnp.meshgrid(offs, offs)
+                neigh = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # (9, 2)
+                th, fv = eval_grid(th[:, None, :] + neigh[None])
+                step *= 0.5
+            return th, fv
+
+        def obj(thetas):  # (B, C, 2) -> (B, C)
+            return jax.vmap(task_nll_batch)(thetas, coord_idx, jitter_vals)
+
+        th, fv, _ = nelder_mead(
+            obj, aux_i, max_iters=self.nm_max_iters,
+            fatol=self.fatol, xatol=self.xatol,
+        )
+        return th, fv
 
     def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i):
         m = min(self.m_for(self.k), ds.capacity)
@@ -97,23 +153,8 @@ class NNGParareal(ModelBase):
         sqd_xx = gpops.pairwise_sq_dists(xm, xm)
         sqd_xq = gpops.sq_dists_to(q, xm)
 
-        coord_idx, jitter_vals = self._coord_idx, self._jitter_vals
-
-        def obj(thetas):  # (B, C, 2) -> (B, C)
-            def per_task(theta_c, coord, jit_pow):
-                y = jnp.take(ym, coord, axis=1)
-                return jax.vmap(
-                    lambda th: gpops.nll_from_sqd(
-                        sqd_xx, y, th, jit_pow, mask, gpops.k_se_log10
-                    )
-                )(theta_c)
-
-            return jax.vmap(per_task)(thetas, coord_idx, jitter_vals)
-
-        thetas, fvals, _ = nelder_mead(
-            obj, aux_i, max_iters=self.nm_max_iters,
-            fatol=self.fatol, xatol=self.xatol,
-        )
+        jitter_vals = self._jitter_vals
+        thetas, fvals = self._optimize_thetas(sqd_xx, ym, mask, aux_i)
 
         # per-coordinate global NLL argmin (reference models.py:207-215)
         per = self.B // self.n

@@ -16,7 +16,18 @@ of scipy optimisations.
 import jax
 import jax.numpy as jnp
 
+from nngparareal_tpu.ops.linalg_small import (
+    cholesky_small,
+    solve_lower_small,
+    chol_solve_small,
+)
+
 _LOG_2PI = float(jnp.log(2 * jnp.pi))
+
+# below this size, use the trace-time-unrolled Cholesky/solves: XLA's
+# blocked while-loop cholesky is both slow and (on some TPU toolchains)
+# unstable for huge batches of tiny f64 matrices
+_SMALL_M = 48
 
 
 def pairwise_sq_dists(x, y):
@@ -78,8 +89,12 @@ def gp_fit(K, y, jitter_pow, mask):
     Reference: models.py:86-92 (_fit_gp_jit).
     """
     Kj = _masked_gram(K, mask, jitter_pow)
-    L = jnp.linalg.cholesky(Kj)
     ym = y * mask
+    if K.shape[-1] <= _SMALL_M:
+        L = cholesky_small(Kj)
+        alpha = chol_solve_small(L, ym)
+        return L, alpha
+    L = jnp.linalg.cholesky(Kj)
     z = jax.scipy.linalg.solve_triangular(L, ym, lower=True)
     alpha = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
     return L, alpha
@@ -92,13 +107,21 @@ def gp_nll(K, y, jitter_pow, mask):
     identical (up to padding) to the reference models.py:240-252 /
     317-330. Non-finite values (failed Cholesky) map to +inf so that the
     optimiser discards them, mirroring the reference's NaN->inf guard
-    (models.py:247-252, 324-330).
+    (models.py:247-252, 324-330). For small m the quadratic term uses
+    0.5 ||L^-1 y||^2, skipping the back-substitution entirely.
     """
-    L, alpha = gp_fit(K, y, jitter_pow, mask)
+    Kj = _masked_gram(K, mask, jitter_pow)
     ym = y * mask
     count = jnp.sum(mask)
-    quad = 0.5 * jnp.dot(ym, alpha)
-    logdet = jnp.sum(jnp.where(mask > 0, jnp.log(jnp.diag(L)), 0.0))
+    if K.shape[-1] <= _SMALL_M:
+        L = cholesky_small(Kj)
+        z = solve_lower_small(L, ym)
+        quad = 0.5 * jnp.sum(z * z)
+    else:
+        L = jnp.linalg.cholesky(Kj)
+        z = jax.scipy.linalg.solve_triangular(L, ym, lower=True)
+        quad = 0.5 * jnp.sum(z * z)
+    logdet = jnp.sum(jnp.where(mask > 0, jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), 0.0))
     nll = quad + logdet + 0.5 * count * _LOG_2PI
     return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
 
