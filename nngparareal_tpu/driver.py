@@ -38,6 +38,7 @@ from nngparareal_tpu.models import (
     NNGParareal,
     GParareal,
     ELM,
+    NNGPTime,
     Dataset,
 )
 from nngparareal_tpu.models.base import ModelBase
@@ -106,6 +107,9 @@ class Parareal:
                 "fatol",
                 "xatol",
                 "nm_max_iters",
+                "optimizer",
+                "grid_refine",
+                "strategy",
                 "theta",
                 "res_size",
                 "loss",
@@ -114,16 +118,31 @@ class Parareal:
                 "alpha",
                 "degree",
                 "m",
+                "nn_iters",
+                "reps",
             )
         }
         if key == "parareal":
             return BareParareal(n=self.n, N=self.N)
         if key in ("nngp", "nngparareal"):
+            kw.pop("nn_iters", None)
+            kw.pop("reps", None)
             return NNGParareal(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
+            for bad in ("nn", "optimizer", "grid_refine", "strategy",
+                        "nn_iters", "reps", "n_restarts"):
+                kw.pop(bad, None)
             return GParareal(n=self.n, N=self.N, **kw)
+        if key in ("nngp_time", "nngptime"):
+            for bad in ("optimizer", "grid_refine", "strategy", "theta"):
+                kw.pop(bad, None)
+            return NNGPTime(n=self.n, N=self.N, **kw)
         if key == "elm":
             kw.setdefault("seed", 47)
+            for bad in ("nn", "optimizer", "grid_refine", "strategy",
+                        "nn_iters", "reps", "n_restarts", "fatol", "xatol",
+                        "nm_max_iters", "theta"):
+                kw.pop(bad, None)
             return ELM(n=self.n, N=self.N, **kw)
         raise Exception(f"Unknown model {model!r}")
 
@@ -176,7 +195,9 @@ class Parareal:
                 def active(u):
                     t_i = t0_glob + i * dt_slice
                     uGn = solver.coarse_step_raw(t_i, dt_slice, u)
-                    pred = model.predict_fn(state, ds, u, uF_ip1, uG_ip1, aux_i)
+                    pred = model.predict_fn(
+                        state, ds, u, uF_ip1, uG_ip1, aux_i, i
+                    )
                     return pred + uGn, uGn
 
                 def frozen(u):
@@ -219,10 +240,10 @@ class Parareal:
         dt_slice = (self.tspan[1] - self.tspan[0]) / N
 
         @jax.jit
-        def step(t_i, u_i, uF_ip1, uG_ip1, dsX, dsD, dsV, state, aux_i):
+        def step(t_i, u_i, uF_ip1, uG_ip1, dsX, dsD, dsV, state, aux_i, i):
             ds = Dataset(dsX, dsD, dsV)
             uGn = solver.coarse_step_raw(t_i, dt_slice, u_i)
-            pred = model.predict_fn(state, ds, u_i, uF_ip1, uG_ip1, aux_i)
+            pred = model.predict_fn(state, ds, u_i, uF_ip1, uG_ip1, aux_i, i)
             return pred + uGn, uGn
 
         def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
@@ -234,6 +255,7 @@ class Parareal:
                 u_ip1, uG_ip1 = step(
                     t0_glob + i * dt_slice, u_rows[i], uF_k[i + 1],
                     uG_k[i + 1], dsX, dsD, dsV, state, aux[i],
+                    jnp.asarray(i),
                 )
                 u_rows.append(u_ip1)
                 uG_rows.append(uG_ip1)
@@ -327,7 +349,7 @@ class Parareal:
             saved = model.get_ckpt_state()
             if model.needs_dataset:
                 model.fit(ds, 0)
-            aux = model.sweep_aux(0, N)
+            aux = model.sweep_aux(0, N, ds.capacity)
             if aux is None:
                 aux = jnp.zeros((N, 1))
             sweep = get_sweep(ds.capacity, model.static_signature(0))
@@ -435,7 +457,7 @@ class Parareal:
             model.add_train_time(k, time.perf_counter() - tic)
 
             # --- 4. fused corrector sweep (parareal.py:359-382) ---
-            aux = model.sweep_aux(k, N)
+            aux = model.sweep_aux(k, N, ds.capacity)
             if aux is None:
                 aux = jnp.zeros((N, 1))
             sweep = get_sweep(ds.capacity, model.static_signature(k))

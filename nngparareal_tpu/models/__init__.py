@@ -3,6 +3,7 @@ from nngparareal_tpu.models.bare import BareParareal
 from nngparareal_tpu.models.nngp import NNGParareal
 from nngparareal_tpu.models.gp import GParareal
 from nngparareal_tpu.models.elm import ELM
+from nngparareal_tpu.models.nngp_time import NNGPTime
 
 __all__ = [
     "ModelBase",
@@ -11,4 +12,5 @@ __all__ = [
     "NNGParareal",
     "GParareal",
     "ELM",
+    "NNGPTime",
 ]

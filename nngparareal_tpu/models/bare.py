@@ -10,5 +10,5 @@ class BareParareal(ModelBase):
     name = "Parareal"
     needs_dataset = False
 
-    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i):
+    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i, i):
         return uF_prev - uG_prev

@@ -101,7 +101,7 @@ class ModelBase:
         """Per-iteration training; may launch batched device work."""
         return None
 
-    def sweep_aux(self, k: int, N: int):
+    def sweep_aux(self, k: int, N: int, cap=None):
         """Per-interval aux inputs with leading dim N, or None."""
         return None
 
@@ -109,12 +109,13 @@ class ModelBase:
         """Device state threaded through the sweep jit (may be ())."""
         return ()
 
-    def predict_fn(self, state, ds: Dataset, q, uF_prev, uG_prev, aux_i):
+    def predict_fn(self, state, ds: Dataset, q, uF_prev, uG_prev, aux_i, i):
         """Pure traceable correction prediction for one interval.
 
         q: (n,) current iterate at the interval's left node;
         uF_prev/uG_prev: (n,) fine/coarse values from the previous
-        iteration at the right node. Returns the predicted defect (n,).
+        iteration at the right node; i: traced interval index.
+        Returns the predicted defect (n,).
         """
         raise NotImplementedError
 

@@ -78,7 +78,7 @@ class ELM(ModelBase):
     def static_signature(self, k):
         return ("m", self.m)
 
-    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i):
+    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i, i):
         m = min(self.m, ds.capacity)
         idx, _ = nearest_neighbors(q, ds.X, ds.valid, m)
         xm = jnp.take(ds.X, idx, axis=0)  # (m, n)

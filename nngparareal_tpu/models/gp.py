@@ -202,7 +202,7 @@ class GParareal(ModelBase):
     def state_pytree(self):
         return self.state
 
-    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i):
+    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i, i):
         th, jv, alpha = state
         sqd_q = gpops.sq_dists_to(q, ds.X)  # (CAP,)
 

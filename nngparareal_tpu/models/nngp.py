@@ -41,6 +41,7 @@ class NNGParareal(ModelBase):
         nm_max_iters=200,
         optimizer="nm",
         grid_refine=2,
+        strategy="nn",
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -58,6 +59,16 @@ class NNGParareal(ModelBase):
         # while_loop), the BASELINE.json north-star formulation.
         self.optimizer = str(optimizer)
         self.grid_refine = int(grid_refine)
+        # neighbour-selection strategy over the (iteration, slice) data
+        # grid: 'nn' (the paper's method) or one of the research variants
+        # of reference nnGPara_with_time.py:27-184 — 'col_only', 'col+rnd',
+        # 'row_col', 'row', 'col_full'. The padded dataset's row index
+        # encodes (iteration, slice) as kk*N + i, so every variant is a
+        # penalty function + top_k.
+        self.strategy = str(strategy)
+        if self.strategy != "nn":
+            self.name = "NNGP" + self.strategy
+        self.rng2 = np.random.default_rng(int(seed))
         self.k = 0
 
         jitters = np.arange(-20.0, -11.0)  # 9 values (models.py:186)
@@ -88,16 +99,66 @@ class NNGParareal(ModelBase):
         self.rng = np.random.default_rng(self.seed)
 
     def static_signature(self, k):
-        return ("m", self.m_for(k))
+        if self.strategy == "nn":
+            return ("m", self.m_for(k))
+        # strategy penalties depend on the current iteration index
+        return ("m", self.m_for(k), "k", int(k), self.strategy)
 
-    def sweep_aux(self, k, N):
+    def sweep_aux(self, k, N, cap=None):
         """Random NM starts theta0 ~ integers[-8, 0) per (interval, task),
         matching the reference's per-task draws (models.py:192). Grid mode
-        is deterministic and needs no aux."""
-        if self.optimizer == "grid":
-            return None
-        draws = self.rng.integers(-8, 0, size=(N, self.B, 2)).astype(float)
-        return jnp.asarray(draws)
+        is deterministic. 'col+rnd' additionally draws random selection
+        scores over dataset rows (nnGPara_with_time.py:63-66)."""
+        aux = {}
+        if self.optimizer != "grid":
+            aux["theta0"] = jnp.asarray(
+                self.rng.integers(-8, 0, size=(N, self.B, 2)).astype(float)
+            )
+        if self.strategy == "col+rnd":
+            if cap is None:
+                raise ValueError("col+rnd needs the dataset capacity")
+            aux["rand"] = jnp.asarray(self.rng2.random((N, cap)))
+        return aux if aux else None
+
+    def _select_neighbors(self, ds, q, m, i, aux_i):
+        """Neighbour indices + selection mask under the active strategy.
+
+        Penalty formulation: every dataset row (kk*N + ii) gets a score;
+        the m smallest win. Invalid rows score +inf. Matches the traversal
+        orders of reference nnGPara_with_time.py:50-170.
+        """
+        if self.strategy == "nn":
+            idx, sqd_sel = nearest_neighbors(q, ds.X, ds.valid, m)
+            return idx, jnp.isfinite(sqd_sel).astype(ds.valid.dtype)
+
+        cap = ds.capacity
+        N, k = self.N, self.k
+        row = jnp.arange(cap)
+        kk = row // N
+        ii = row % N
+        inf = jnp.inf
+        colrank = jnp.where(ii > i, 2 * (ii - i) - 1, 2 * (i - ii))
+
+        if self.strategy == "col_only":
+            pen = jnp.where(ii == i, (k - kk).astype(float), inf)
+        elif self.strategy == "col+rnd":
+            on_col = min(m, k + 1)
+            in_col = (ii == i) & (kk >= k + 1 - on_col)
+            pen = jnp.where(in_col, -1.0 - kk, aux_i["rand"])
+        elif self.strategy == "row_col":
+            dist = jnp.abs(kk - k) + jnp.abs(ii - i)
+            # tie-break in the reference's flat (interval-major) order
+            pen = (dist * N * (k + 3) + ii * (k + 2) + kk).astype(float)
+        elif self.strategy == "row":
+            pen = ((k - kk) * (2 * N + 2) + colrank).astype(float)
+        elif self.strategy == "col_full":
+            pen = (colrank * (k + 2) + (k - kk)).astype(float)
+        else:
+            raise ValueError(f"Unknown neighbour strategy {self.strategy!r}")
+
+        pen = jnp.where(ds.valid > 0, pen, inf)
+        neg, idx = jax.lax.top_k(-pen, m)
+        return idx, jnp.isfinite(neg).astype(ds.valid.dtype)
 
     def _optimize_thetas(self, sqd_xx, ym, mask, aux_i):
         """Per-task theta selection; returns (thetas (B,2), fvals (B,))."""
@@ -112,27 +173,7 @@ class NNGParareal(ModelBase):
             )(theta_c)
 
         if self.optimizer == "grid":
-            g = jnp.arange(-8.0, 0.0)
-            gx, gy = jnp.meshgrid(g, g)
-            grid0 = jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (64, 2)
-
-            def eval_grid(grids):  # (B, G, 2) -> best (B,2), (B,)
-                fv = jax.vmap(task_nll_batch)(grids, coord_idx, jitter_vals)
-                best = jnp.argmin(fv, axis=1)
-                th = jnp.take_along_axis(grids, best[:, None, None], 1)[:, 0, :]
-                f = jnp.take_along_axis(fv, best[:, None], 1)[:, 0]
-                return th, f
-
-            grids = jnp.broadcast_to(grid0[None], (self.B,) + grid0.shape)
-            th, fv = eval_grid(grids)
-            step = 0.5
-            for _ in range(self.grid_refine):
-                offs = jnp.array([-step, 0.0, step])
-                ox, oy = jnp.meshgrid(offs, offs)
-                neigh = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # (9, 2)
-                th, fv = eval_grid(th[:, None, :] + neigh[None])
-                step *= 0.5
-            return th, fv
+            return self._grid_shared(sqd_xx, ym, mask)
 
         def obj(thetas):  # (B, C, 2) -> (B, C)
             return jax.vmap(task_nll_batch)(thetas, coord_idx, jitter_vals)
@@ -143,18 +184,100 @@ class NNGParareal(ModelBase):
         )
         return th, fv
 
-    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i):
+    def _grid_shared(self, sqd_xx, ym, mask):
+        """Dense (theta x jitter) grid search with factorization sharing.
+
+        The Gram matrix depends only on (theta, jitter), not on the target
+        coordinate — so each of the 64x9 combos is factorized ONCE and a
+        single multi-RHS forward substitution scores ALL n coordinates
+        (the reference instead runs one scipy NM per coordinate x jitter,
+        models.py:185-226). Returns per-task (thetas (B,2), fvals (B,)) in
+        the same coord-major layout as the NM path. ``grid_refine`` rounds
+        of 3x3 halving refinement run per-coordinate with the selected
+        jitter held fixed.
+        """
+        from nngparareal_tpu.ops.linalg_small import (
+            cholesky_small,
+            solve_lower_small_mrhs,
+        )
+
+        n = self.n
+        m = sqd_xx.shape[-1]
+        g = jnp.arange(-8.0, 0.0)
+        gx, gy = jnp.meshgrid(g, g)
+        grid0 = jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (64, 2)
+        jit9 = jnp.asarray(np.arange(-20.0, -11.0))
+        combo_th = jnp.repeat(grid0, 9, axis=0)  # (576, 2)
+        combo_jit = jnp.tile(jit9, grid0.shape[0])  # (576,)
+
+        Ym = ym * mask[:, None]
+        count = jnp.sum(mask)
+        log2pi = jnp.log(2 * jnp.pi)
+
+        def nll_all_coords(th, jit_pow):
+            K = gpops.k_se_log10(sqd_xx, th)
+            m2 = mask[:, None] * mask[None, :]
+            Kj = K * m2 + jnp.diag(1.0 - mask) + (10.0 ** jit_pow) * jnp.eye(m)
+            L = cholesky_small(Kj)
+            Z = solve_lower_small_mrhs(L, Ym)  # (m, n)
+            quad = 0.5 * jnp.sum(Z * Z, axis=0)  # (n,)
+            logdet = jnp.sum(jnp.where(mask > 0, jnp.log(jnp.diag(L)), 0.0))
+            nll = quad + logdet + 0.5 * count * log2pi
+            return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
+
+        fv_all = jax.vmap(nll_all_coords)(combo_th, combo_jit)  # (576, n)
+        best = jnp.argmin(fv_all, axis=0)  # (n,)
+        th_best = combo_th[best]  # (n, 2)
+        jit_best = combo_jit[best]  # (n,)
+        fv_best = jnp.take_along_axis(fv_all, best[None, :], axis=0)[0]
+
+        step = 0.5
+        for _ in range(self.grid_refine):
+            offs = jnp.array([-step, 0.0, step])
+            ox, oy = jnp.meshgrid(offs, offs)
+            neigh = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # (9, 2)
+            cands = th_best[:, None, :] + neigh[None]  # (n, 9, 2)
+
+            def coord_nll(th_c, jit_pow, y):
+                return jax.vmap(
+                    lambda th: gpops.nll_from_sqd(
+                        sqd_xx, y, th, jit_pow, mask, gpops.k_se_log10
+                    )
+                )(th_c)
+
+            fv_r = jax.vmap(coord_nll)(cands, jit_best, ym.T)  # (n, 9)
+            b = jnp.argmin(fv_r, axis=1)
+            th_new = jnp.take_along_axis(cands, b[:, None, None], 1)[:, 0]
+            fv_new = jnp.take_along_axis(fv_r, b[:, None], 1)[:, 0]
+            improve = fv_new < fv_best
+            th_best = jnp.where(improve[:, None], th_new, th_best)
+            fv_best = jnp.where(improve, fv_new, fv_best)
+            step *= 0.5
+
+        # expand back to coord-major per-task layout: put the winner in the
+        # task slot whose jitter matches, +inf elsewhere, so the downstream
+        # per-coordinate argmin/jitter selection is unchanged
+        per = self.B // n
+        jit_tasks = self._jitter_vals.reshape(n, per)
+        fv_tasks = jnp.where(
+            jit_tasks == jit_best[:, None], fv_best[:, None], jnp.inf
+        )
+        th_tasks = jnp.broadcast_to(th_best[:, None, :], (n, per, 2))
+        return th_tasks.reshape(-1, 2), fv_tasks.reshape(-1)
+
+    def predict_fn(self, state, ds, q, uF_prev, uG_prev, aux_i, i):
         m = min(self.m_for(self.k), ds.capacity)
-        idx, sqd_sel = nearest_neighbors(q, ds.X, ds.valid, m)
+        idx, sel_mask = self._select_neighbors(ds, q, m, i, aux_i)
         xm = jnp.take(ds.X, idx, axis=0)  # (m, n)
         ym = jnp.take(ds.D, idx, axis=0)  # (m, n)
-        mask = jnp.take(ds.valid, idx, axis=0)  # (m,) handles count<m
+        mask = sel_mask * jnp.take(ds.valid, idx, axis=0)
 
         sqd_xx = gpops.pairwise_sq_dists(xm, xm)
         sqd_xq = gpops.sq_dists_to(q, xm)
 
         jitter_vals = self._jitter_vals
-        thetas, fvals = self._optimize_thetas(sqd_xx, ym, mask, aux_i)
+        theta0 = aux_i["theta0"] if isinstance(aux_i, dict) and "theta0" in aux_i else None
+        thetas, fvals = self._optimize_thetas(sqd_xx, ym, mask, theta0)
 
         # per-coordinate global NLL argmin (reference models.py:207-215)
         per = self.B // self.n

@@ -69,3 +69,20 @@ def chol_solve_small(L, y):
     """Solve (L L^T) alpha = y."""
     z = solve_lower_small(L, y)
     return solve_upper_small(jnp.swapaxes(L, -1, -2), z)
+
+
+def solve_lower_small_mrhs(L, Y):
+    """Solve L Z = Y with L (..., m, m) lower-triangular, Y (..., m, r).
+
+    Multi-right-hand-side forward substitution — lets one factorization
+    serve every state coordinate of a GP fit at once.
+    """
+    m = L.shape[-2]
+    zs = []
+    for j in range(m):
+        acc = Y[..., j, :]
+        if j:
+            zprev = jnp.stack(zs, axis=-2)  # (..., j, r)
+            acc = acc - jnp.einsum("...k,...kr->...r", L[..., j, :j], zprev)
+        zs.append(acc / L[..., j, j][..., None])
+    return jnp.stack(zs, axis=-2)

@@ -1,0 +1,33 @@
+"""Research variants: neighbour strategies (NNGP_alt) and NNGPtime."""
+
+import numpy as np
+import pytest
+
+from nngparareal_tpu import FHNODE, Config, RKSolver, Parareal
+
+
+def _fhn(epsilon=5e-7):
+    ode = FHNODE(normalization="-11")
+    cfg = Config(ode).get()
+    solver = RKSolver(
+        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+    )
+    return Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=epsilon,
+                    verbose=None)
+
+
+@pytest.mark.parametrize("strategy", ["col_only", "col+rnd", "row_col",
+                                      "row", "col_full"])
+def test_neighbor_strategies_run(strategy):
+    p = _fhn()
+    out = p.run(model="nngp", nn=12, strategy=strategy, early_stop=3)
+    assert out["k"] == 3
+    assert np.all(np.isfinite(out["u"]))
+
+
+def test_nngp_time_converges():
+    p = _fhn()
+    out = p.run(model="nngp_time", nn=10, reps=2, nn_iters=2,
+                nm_max_iters=60, early_stop=4)
+    assert out["k"] == 4
+    assert np.all(np.isfinite(out["u"]))
