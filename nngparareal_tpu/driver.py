@@ -252,9 +252,10 @@ class Parareal:
             u_rows = [u_init[i] for i in range(I + 1)]
             uG_rows = [uG_init[i] for i in range(I + 1)]
             for i in range(I, N):
+                aux_i = jax.tree.map(lambda a: a[i], aux)
                 u_ip1, uG_ip1 = step(
                     t0_glob + i * dt_slice, u_rows[i], uF_k[i + 1],
-                    uG_k[i + 1], dsX, dsD, dsV, state, aux[i],
+                    uG_k[i + 1], dsX, dsD, dsV, state, aux_i,
                     jnp.asarray(i),
                 )
                 u_rows.append(u_ip1)
@@ -354,9 +355,11 @@ class Parareal:
                 aux = jnp.zeros((N, 1))
             sweep = get_sweep(ds.capacity, model.static_signature(0))
             dummy = jnp.tile(u0_dev, (N + 1, 1))
+            # NOTE: I must be passed exactly like the main loop does
+            # (weak-typed) or jit re-traces on weak_type mismatch
             _block(
                 sweep(
-                    jnp.int64(0), dummy, dummy, dummy, dummy, dummy,
+                    jnp.asarray(0), dummy, dummy, dummy, dummy, dummy,
                     ds.X, ds.D, ds.valid, model.state_pytree(), aux,
                 )
             )

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from nngparareal_tpu.models.base import ModelBase
 from nngparareal_tpu.ops import gp as gpops
+from nngparareal_tpu.ops import gp_lanes as gplanes
 from nngparareal_tpu.ops.nn_select import nearest_neighbors
 from nngparareal_tpu.ops.optim import nelder_mead
 
@@ -164,19 +165,20 @@ class NNGParareal(ModelBase):
         """Per-task theta selection; returns (thetas (B,2), fvals (B,))."""
         coord_idx, jitter_vals = self._coord_idx, self._jitter_vals
 
-        def task_nll_batch(theta_c, coord, jit_pow):
-            y = jnp.take(ym, coord, axis=1)
-            return jax.vmap(
-                lambda th: gpops.nll_from_sqd(
-                    sqd_xx, y, th, jit_pow, mask, gpops.k_se_log10
-                )
-            )(theta_c)
-
         if self.optimizer == "grid":
             return self._grid_shared(sqd_xx, ym, mask)
 
-        def obj(thetas):  # (B, C, 2) -> (B, C)
-            return jax.vmap(task_nll_batch)(thetas, coord_idx, jitter_vals)
+        y_tasks = ym[:, self._coord_idx]  # (m, B) one target column per task
+
+        def obj(thetas):  # (B, C, 2) -> (B, C), lane-major NLL
+            Bc, C, _ = thetas.shape
+            th_flat = thetas.reshape(-1, 2)
+            jit_flat = jnp.repeat(jitter_vals, C)
+            y_flat = jnp.repeat(y_tasks, C, axis=1)  # (m, B*C)
+            fv = gplanes.nll_lanes(
+                sqd_xx, y_flat[:, None, :], th_flat, jit_flat, mask
+            )  # (1, B*C)
+            return fv[0].reshape(Bc, C)
 
         th, fv, _ = nelder_mead(
             obj, aux_i, max_iters=self.nm_max_iters,
@@ -196,13 +198,7 @@ class NNGParareal(ModelBase):
         of 3x3 halving refinement run per-coordinate with the selected
         jitter held fixed.
         """
-        from nngparareal_tpu.ops.linalg_small import (
-            cholesky_small,
-            solve_lower_small_mrhs,
-        )
-
         n = self.n
-        m = sqd_xx.shape[-1]
         g = jnp.arange(-8.0, 0.0)
         gx, gy = jnp.meshgrid(g, g)
         grid0 = jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (64, 2)
@@ -210,44 +206,31 @@ class NNGParareal(ModelBase):
         combo_th = jnp.repeat(grid0, 9, axis=0)  # (576, 2)
         combo_jit = jnp.tile(jit9, grid0.shape[0])  # (576,)
 
-        Ym = ym * mask[:, None]
-        count = jnp.sum(mask)
-        log2pi = jnp.log(2 * jnp.pi)
-
-        def nll_all_coords(th, jit_pow):
-            K = gpops.k_se_log10(sqd_xx, th)
-            m2 = mask[:, None] * mask[None, :]
-            Kj = K * m2 + jnp.diag(1.0 - mask) + (10.0 ** jit_pow) * jnp.eye(m)
-            L = cholesky_small(Kj)
-            Z = solve_lower_small_mrhs(L, Ym)  # (m, n)
-            quad = 0.5 * jnp.sum(Z * Z, axis=0)  # (n,)
-            logdet = jnp.sum(jnp.where(mask > 0, jnp.log(jnp.diag(L)), 0.0))
-            nll = quad + logdet + 0.5 * count * log2pi
-            return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
-
-        fv_all = jax.vmap(nll_all_coords)(combo_th, combo_jit)  # (576, n)
-        best = jnp.argmin(fv_all, axis=0)  # (n,)
+        # all coordinates scored against all combos with B=576 in the lane
+        # axis; each combo factorized once (shared across coordinates)
+        fv_all = gplanes.nll_lanes(
+            sqd_xx, ym, combo_th, combo_jit, mask
+        )  # (n, 576)
+        best = jnp.argmin(fv_all, axis=1)  # (n,)
         th_best = combo_th[best]  # (n, 2)
         jit_best = combo_jit[best]  # (n,)
-        fv_best = jnp.take_along_axis(fv_all, best[None, :], axis=0)[0]
+        fv_best = jnp.take_along_axis(fv_all, best[:, None], axis=1)[:, 0]
 
         step = 0.5
         for _ in range(self.grid_refine):
             offs = jnp.array([-step, 0.0, step])
             ox, oy = jnp.meshgrid(offs, offs)
             neigh = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # (9, 2)
-            cands = th_best[:, None, :] + neigh[None]  # (n, 9, 2)
-
-            def coord_nll(th_c, jit_pow, y):
-                return jax.vmap(
-                    lambda th: gpops.nll_from_sqd(
-                        sqd_xx, y, th, jit_pow, mask, gpops.k_se_log10
-                    )
-                )(th_c)
-
-            fv_r = jax.vmap(coord_nll)(cands, jit_best, ym.T)  # (n, 9)
+            cands = (th_best[:, None, :] + neigh[None]).reshape(-1, 2)
+            jit_c = jnp.repeat(jit_best, 9)
+            y_c = jnp.repeat(ym, 9, axis=1)  # (m, n*9)
+            fv_r = gplanes.nll_lanes(
+                sqd_xx, y_c[:, None, :], cands, jit_c, mask
+            )[0].reshape(n, 9)
             b = jnp.argmin(fv_r, axis=1)
-            th_new = jnp.take_along_axis(cands, b[:, None, None], 1)[:, 0]
+            th_new = jnp.take_along_axis(
+                cands.reshape(n, 9, 2), b[:, None, None], 1
+            )[:, 0]
             fv_new = jnp.take_along_axis(fv_r, b[:, None], 1)[:, 0]
             improve = fv_new < fv_best
             th_best = jnp.where(improve[:, None], th_new, th_best)
@@ -288,13 +271,8 @@ class NNGParareal(ModelBase):
         th_best = jnp.take_along_axis(th, best[:, None, None], axis=1)[:, 0, :]
         jv_best = jnp.take_along_axis(jv, best[:, None], axis=1)[:, 0]
 
-        def post_mean(theta_j, jit_j, j):
-            y = jnp.take(ym, j, axis=1)
-            return gpops.predict_mean_from_sqd(
-                sqd_xx, sqd_xq, y, theta_j, jit_j, mask, gpops.k_se_log10
-            )
-
-        preds = jax.vmap(post_mean)(
-            th_best, jv_best, jnp.arange(self.n, dtype=jnp.int32)
+        # lane-major posterior: one factorization per coordinate, all in
+        # the lane axis
+        return gplanes.posterior_mean_lanes(
+            sqd_xx, sqd_xq, ym, th_best, jv_best, mask
         )
-        return preds

@@ -1,0 +1,129 @@
+"""Lane-major GP kernels: task batch in the LAST axis.
+
+The TPU VPU processes (8 sublanes x 128 lanes) tiles; arrays whose last
+dimension is the tiny GP size m (~10-30) waste ~85% of every lane. These
+kernels keep the hyperparameter-task batch B (hundreds to thousands) in
+the last axis instead: matrices are stored (m, m, B) and every unrolled
+Cholesky/substitution step is a (*, B)-wide elementwise op — full lanes,
+no control flow, no XLA cholesky.
+
+Used by the nnGParareal hyperparameter search (grid and Nelder-Mead
+objectives), where each parareal interval evaluates hundreds of candidate
+(theta, jitter) pairs on a shared m x m squared-distance matrix.
+"""
+
+import jax.numpy as jnp
+
+
+def k_se_log10_lanes(sqd, theta):
+    """SE kernel values for B candidate thetas at once.
+
+    sqd: (m, m) shared squared distances; theta: (B, 2) log10-scale.
+    Returns (m, m, B).
+    """
+    sx = theta[:, 0]
+    sy = theta[:, 1]
+    return 10.0 ** sy * jnp.exp(-0.5 * (10.0 ** (-sx)) * sqd[:, :, None])
+
+
+def masked_gram_lanes(K, mask, jitter_pow):
+    """Masked Gram + jitter, lanes layout: K (m, m, B), mask (m,),
+    jitter_pow (B,). Padded rows/cols become identity."""
+    m = K.shape[0]
+    m2 = (mask[:, None] * mask[None, :])[:, :, None]
+    eye = jnp.eye(m)
+    Km = K * m2 + (eye * (1.0 - mask)[None, :])[:, :, None]
+    return Km + eye[:, :, None] * (10.0 ** jitter_pow)[None, None, :]
+
+
+def cholesky_lanes(A):
+    """Cholesky of A (m, m, B), unrolled over columns; all ops (*, B)."""
+    m = A.shape[0]
+    cols = []  # column j as (m, B)
+    for j in range(m):
+        s = A[:, j, :]
+        if j:
+            prior = jnp.stack(cols, axis=0)  # (j, m, B)
+            Lj = prior[:, j, :]  # (j, B)
+            s = s - jnp.sum(prior * Lj[:, None, :], axis=0)
+        d = jnp.sqrt(s[j])
+        col = s / d[None, :]
+        if j:
+            keep = (jnp.arange(m) >= j)[:, None]
+            col = jnp.where(keep, col, 0.0)
+        cols.append(col)
+    return jnp.stack(cols, axis=1)  # (m, m, B)
+
+
+def solve_lower_lanes(L, Y):
+    """Solve L Z = Y; L (m, m, B), Y (m, r, B) -> Z (m, r, B)."""
+    m = L.shape[0]
+    zs = []
+    for j in range(m):
+        acc = Y[j]
+        if j:
+            zprev = jnp.stack(zs, axis=0)  # (j, r, B)
+            Lrow = L[j, :j, :]  # (j, B)
+            acc = acc - jnp.sum(zprev * Lrow[:, None, :], axis=0)
+        zs.append(acc / L[j, j][None, :])
+    return jnp.stack(zs, axis=0)
+
+
+def solve_upper_lanes(U, Y):
+    """Solve U X = Y with U upper-triangular (m, m, B), Y (m, r, B)."""
+    m = U.shape[0]
+    xs = [None] * m
+    done = []
+    for idx, j in enumerate(range(m - 1, -1, -1)):
+        acc = Y[j]
+        if idx:
+            xnext = jnp.stack(done, axis=0)  # (idx, r, B) rows j+1.. reversed
+            Urow = U[j, j + 1:, :][::-1]  # (idx, B)
+            acc = acc - jnp.sum(xnext * Urow[:, None, :], axis=0)
+        val = acc / U[j, j][None, :]
+        done.append(val)
+        xs[j] = val
+    return jnp.stack(xs, axis=0)
+
+
+_LOG_2PI = float(jnp.log(2 * jnp.pi))
+
+
+def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes):
+    """Masked GP NLL for B (theta, jitter) candidates sharing one dataset.
+
+    sqd: (m, m); Y: (m, r) targets (r coordinates) or (m, r, B) per-task;
+    theta: (B, 2); jitter_pow: (B,); mask: (m,).
+    Returns (r, B) NLL values (non-finite -> +inf).
+    """
+    K = kernel(sqd, theta)
+    Kj = masked_gram_lanes(K, mask, jitter_pow)
+    L = cholesky_lanes(Kj)
+    if Y.ndim == 2:
+        Ym = (Y * mask[:, None])[:, :, None]  # (m, r, 1), broadcasts over B
+    else:
+        Ym = Y * mask[:, None, None]
+    Z = solve_lower_lanes(L, Ym)  # (m, r, B)
+    quad = 0.5 * jnp.sum(Z * Z, axis=0)  # (r, B)
+    diag = jnp.stack([L[j, j] for j in range(L.shape[0])], axis=0)  # (m, B)
+    logdet = jnp.sum(jnp.where(mask[:, None] > 0, jnp.log(diag), 0.0), axis=0)
+    count = jnp.sum(mask)
+    nll = quad + logdet[None, :] + 0.5 * count * _LOG_2PI
+    return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
+
+
+def posterior_mean_lanes(sqd, sqd_q, Y, theta, jitter_pow, mask,
+                         kernel=k_se_log10_lanes):
+    """Posterior means for B per-coordinate (theta, jitter) picks.
+
+    sqd: (m, m); sqd_q: (m,); Y: (m, B) one target column per task;
+    theta: (B, 2); jitter_pow: (B,). Returns (B,).
+    """
+    K = kernel(sqd, theta)
+    Kj = masked_gram_lanes(K, mask, jitter_pow)
+    L = cholesky_lanes(Kj)
+    Ym = (Y * mask[:, None])[:, None, :]  # (m, 1, B)
+    Z = solve_lower_lanes(L, Ym)
+    alpha = solve_upper_lanes(jnp.swapaxes(L, 0, 1), Z)[:, 0, :]  # (m, B)
+    k_star = kernel(sqd_q[:, None], theta)[:, 0, :] * mask[:, None]  # (m, B)
+    return jnp.sum(k_star * alpha, axis=0)

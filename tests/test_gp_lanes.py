@@ -1,0 +1,63 @@
+"""Lane-major GP kernels vs the row-major reference ops."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nngparareal_tpu.ops import gp as gpops
+from nngparareal_tpu.ops import gp_lanes as gplanes
+
+
+def _setup(m=14, n=5, B=23, pad=4, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(m, 3))
+    mask = np.ones(m)
+    mask[m - pad:] = 0.0
+    Y = rng.normal(size=(m, n))
+    thetas = rng.uniform(-6, 0, size=(B, 2))
+    jitters = rng.choice(np.arange(-20.0, -11.0), size=B)
+    sqd = gpops.pairwise_sq_dists(jnp.asarray(X), jnp.asarray(X))
+    return sqd, jnp.asarray(Y), jnp.asarray(thetas), jnp.asarray(jitters), jnp.asarray(mask)
+
+
+def test_nll_lanes_matches_rowmajor():
+    sqd, Y, thetas, jitters, mask = _setup()
+    got = np.asarray(gplanes.nll_lanes(sqd, Y, thetas, jitters, mask))
+    for b in range(thetas.shape[0]):
+        for r in range(Y.shape[1]):
+            want = gpops.nll_from_sqd(
+                sqd, Y[:, r], thetas[b], jitters[b], mask, gpops.k_se_log10
+            )
+            np.testing.assert_allclose(got[r, b], float(want), rtol=1e-9)
+
+
+def test_nll_lanes_pertask_targets():
+    Y_cols = 5
+    sqd, Y, thetas, jitters, mask = _setup(B=Y_cols)
+    thetas = thetas[:Y_cols]
+    jitters = jitters[:Y_cols]
+    Yt = Y[:, None, :]  # (m, 1, B): task b gets target column b
+    got = np.asarray(gplanes.nll_lanes(sqd, Yt, thetas, jitters, mask))[0]
+    for b in range(Y_cols):
+        want = gpops.nll_from_sqd(
+            sqd, Y[:, b], thetas[b], jitters[b], mask, gpops.k_se_log10
+        )
+        np.testing.assert_allclose(got[b], float(want), rtol=1e-9)
+
+
+def test_posterior_lanes_matches_rowmajor():
+    sqd, Y, thetas, jitters, mask = _setup(B=5)
+    thetas = thetas[:5]
+    jitters = jitters[:5]
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=3))
+    X = rng.normal(size=(14, 3))
+    sqd_q = jnp.asarray(((X - np.asarray(q)) ** 2).sum(-1))
+    got = np.asarray(
+        gplanes.posterior_mean_lanes(sqd, sqd_q, Y, thetas, jitters, mask)
+    )
+    for b in range(5):
+        want = gpops.predict_mean_from_sqd(
+            sqd, sqd_q, Y[:, b], thetas[b], jitters[b], mask,
+            gpops.k_se_log10,
+        )
+        np.testing.assert_allclose(got[b], float(want), rtol=1e-9)
