@@ -137,6 +137,14 @@ class Parareal:
             for bad in ("optimizer", "grid_refine", "strategy", "theta"):
                 kw.pop(bad, None)
             return NNGPTime(n=self.n, N=self.N, **kw)
+        if key in ("knn_mean", "nn_mean", "knnmean"):
+            from nngparareal_tpu.models import KNNMean
+
+            for bad in ("optimizer", "grid_refine", "strategy", "theta",
+                        "nn_iters", "reps", "n_restarts", "fatol", "xatol",
+                        "nm_max_iters"):
+                kw.pop(bad, None)
+            return KNNMean(n=self.n, N=self.N, **kw)
         if key == "elm":
             kw.setdefault("seed", 47)
             for bad in ("nn", "optimizer", "grid_refine", "strategy",
@@ -309,6 +317,7 @@ class Parareal:
         measure_serial_fine=True,
         lag_k=None,
         sweep_mode="auto",
+        comp_models=None,
         int_dir="",
         int_name=None,
         _resume=None,
@@ -336,8 +345,27 @@ class Parareal:
                 sweep_cache[key] = make(model, cap)
             return sweep_cache[key]
 
+        # shadow comparison models (reference Figure_2.py comp_mdls
+        # harness): fitted on the same data each iteration, batch-predict
+        # every active interval post-sweep, errors recorded vs true F
+        shadows = []
+        if comp_models:
+            debug = True
+            for spec in comp_models:
+                if isinstance(spec, ModelBase):
+                    nm, mdl = spec.name, spec
+                elif isinstance(spec, str):
+                    nm, mdl = spec, self._make_model(spec)
+                else:
+                    nm, skw = spec
+                    mdl = self._make_model(nm, **skw)
+                    nm = skw.get("cstm_name", f"{nm}:{mdl.name}")
+                shadows.append([nm, mdl, {}])
+        shadow_errs = {nm: [] for nm, _, _ in shadows}
+
+        collect_data = model.needs_dataset or bool(shadows)
         cap0 = N * max(1, min(N, 32 if cap_iters is None else int(cap_iters)))
-        ds = Dataset.empty(cap0 if model.needs_dataset else N, n)
+        ds = Dataset.empty(cap0 if collect_data else N, n)
 
         u0_dev = jnp.asarray(self.u0)
 
@@ -421,7 +449,7 @@ class Parareal:
             uG_init = uG
             I += 1
 
-            if model.needs_dataset:
+            if collect_data:
                 if (k + 1) * N > ds.capacity:
                     ds = ds.grown(2 * ds.capacity)
                 valid_new = (np.arange(N) >= I - 1).astype(float)
@@ -445,7 +473,7 @@ class Parareal:
                 break
 
             # --- 3. model fit (parareal.py:351) ---
-            if lag_k is not None and model.needs_dataset:
+            if lag_k is not None and collect_data:
                 ds_fit = Dataset(
                     ds.X, ds.D,
                     self._windowed_valid(ds.valid, N, k, I, int(lag_k)),
@@ -492,6 +520,34 @@ class Parareal:
                 all_pred_err.append(pe)
                 if verbose == "v":
                     print(f"Avg error {pe.mean(axis=0)}, Max. error {pe.max(axis=0)}")
+                for entry in shadows:
+                    nm, mdl, cache = entry
+                    mdl.fit(ds_fit, k)
+                    skey = (ds.capacity, mdl.static_signature(k))
+                    if skey not in cache:
+                        def _make_batch_pred(mdl):
+                            def batch_pred(dsX, dsD, dsV, state, qs, uFs,
+                                           uGs, auxs, idxs):
+                                dsl = Dataset(dsX, dsD, dsV)
+                                return jax.vmap(
+                                    lambda q_, f_, g_, a_, i_:
+                                    mdl.predict_fn(state, dsl, q_, f_, g_,
+                                                   a_, i_)
+                                )(qs, uFs, uGs, auxs, idxs)
+                            return jax.jit(batch_pred)
+                        cache[skey] = _make_batch_pred(mdl)
+                    saux = mdl.sweep_aux(k, N, ds.capacity)
+                    if saux is None:
+                        saux = jnp.zeros((N, 1))
+                    spreds = cache[skey](
+                        ds_fit.X, ds_fit.D, ds_fit.valid,
+                        mdl.state_pytree(), u_next[:-1], uF[1:], uG[1:],
+                        saux, jnp.arange(N),
+                    )
+                    serr = np.asarray(
+                        jnp.abs(spreds + uG_next[1:] - truth_tail)
+                    )[I:]
+                    shadow_errs[nm].append(serr)
 
             # --- 5. convergence check + prefix freeze (parareal.py:399-416) ---
             err = np.asarray(err_dev)
@@ -529,7 +585,7 @@ class Parareal:
 
         # --- outputs ---
         err_arr = np.stack(err_cols, axis=1) if err_cols else np.zeros((N + 1, 0))
-        if model.needs_dataset:
+        if collect_data:
             mask = np.asarray(ds.valid) > 0
             x_out = np.asarray(ds.X)[mask]
             D_out = np.asarray(ds.D)[mask]
@@ -553,6 +609,8 @@ class Parareal:
                 "mean_errs": mean_errs,
                 "max_errs": max_errs,
             }
+            if shadows:
+                debug_dict["err_store_mdls"] = shadow_errs
 
         out = {
             "t": t,

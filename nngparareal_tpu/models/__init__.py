@@ -4,8 +4,10 @@ from nngparareal_tpu.models.nngp import NNGParareal
 from nngparareal_tpu.models.gp import GParareal
 from nngparareal_tpu.models.elm import ELM
 from nngparareal_tpu.models.nngp_time import NNGPTime
+from nngparareal_tpu.models.knn_mean import KNNMean
 
 __all__ = [
+    "KNNMean",
     "ModelBase",
     "Dataset",
     "BareParareal",

@@ -43,6 +43,7 @@ class NNGParareal(ModelBase):
         optimizer="nm",
         grid_refine=2,
         strategy="nn",
+        score_dtype=None,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -70,6 +71,9 @@ class NNGParareal(ModelBase):
         if self.strategy != "nn":
             self.name = "NNGP" + self.strategy
         self.rng2 = np.random.default_rng(int(seed))
+        # optional down-cast for hyperparameter *scoring* only (ranking
+        # candidates); the posterior mean always runs f64
+        self.score_dtype = score_dtype
         self.k = 0
 
         jitters = np.arange(-20.0, -11.0)  # 9 values (models.py:186)
@@ -176,7 +180,8 @@ class NNGParareal(ModelBase):
             jit_flat = jnp.repeat(jitter_vals, C)
             y_flat = jnp.repeat(y_tasks, C, axis=1)  # (m, B*C)
             fv = gplanes.nll_lanes(
-                sqd_xx, y_flat[:, None, :], th_flat, jit_flat, mask
+                sqd_xx, y_flat[:, None, :], th_flat, jit_flat, mask,
+                dtype=self.score_dtype,
             )  # (1, B*C)
             return fv[0].reshape(Bc, C)
 
@@ -209,7 +214,7 @@ class NNGParareal(ModelBase):
         # all coordinates scored against all combos with B=576 in the lane
         # axis; each combo factorized once (shared across coordinates)
         fv_all = gplanes.nll_lanes(
-            sqd_xx, ym, combo_th, combo_jit, mask
+            sqd_xx, ym, combo_th, combo_jit, mask, dtype=self.score_dtype
         )  # (n, 576)
         best = jnp.argmin(fv_all, axis=1)  # (n,)
         th_best = combo_th[best]  # (n, 2)
@@ -225,7 +230,8 @@ class NNGParareal(ModelBase):
             jit_c = jnp.repeat(jit_best, 9)
             y_c = jnp.repeat(ym, 9, axis=1)  # (m, n*9)
             fv_r = gplanes.nll_lanes(
-                sqd_xx, y_c[:, None, :], cands, jit_c, mask
+                sqd_xx, y_c[:, None, :], cands, jit_c, mask,
+                dtype=self.score_dtype,
             )[0].reshape(n, 9)
             b = jnp.argmin(fv_r, axis=1)
             th_new = jnp.take_along_axis(

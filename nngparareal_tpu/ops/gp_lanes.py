@@ -89,13 +89,25 @@ def solve_upper_lanes(U, Y):
 _LOG_2PI = float(jnp.log(2 * jnp.pi))
 
 
-def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes):
+def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
+              dtype=None):
     """Masked GP NLL for B (theta, jitter) candidates sharing one dataset.
 
     sqd: (m, m); Y: (m, r) targets (r coordinates) or (m, r, B) per-task;
     theta: (B, 2); jitter_pow: (B,); mask: (m,).
-    Returns (r, B) NLL values (non-finite -> +inf).
+    Returns (r, B) NLL values (non-finite -> +inf), in f64.
+
+    ``dtype`` optionally down-casts the *scoring* computation (e.g.
+    float32): the NLL is only used to rank hyperparameter candidates, and
+    f32 runs natively on the TPU VPU while f64 is emulated. The posterior
+    fit stays f64 regardless.
     """
+    if dtype is not None:
+        sqd = sqd.astype(dtype)
+        Y = Y.astype(dtype)
+        theta = theta.astype(dtype)
+        jitter_pow = jitter_pow.astype(dtype)
+        mask = mask.astype(dtype)
     K = kernel(sqd, theta)
     Kj = masked_gram_lanes(K, mask, jitter_pow)
     L = cholesky_lanes(Kj)
@@ -109,6 +121,7 @@ def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes):
     logdet = jnp.sum(jnp.where(mask[:, None] > 0, jnp.log(diag), 0.0), axis=0)
     count = jnp.sum(mask)
     nll = quad + logdet[None, :] + 0.5 * count * _LOG_2PI
+    nll = nll.astype(jnp.promote_types(nll.dtype, jnp.float64))
     return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
 
 
