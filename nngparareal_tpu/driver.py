@@ -206,6 +206,16 @@ class Parareal:
                     pred = model.predict_fn(
                         state, ds, u, uF_ip1, uG_ip1, aux_i, i
                     )
+                    # graceful degradation: a GP prediction can come out
+                    # non-finite when a near-singular local Gram (jitter
+                    # 1e-20..1e-12) loses its Cholesky to rounding — the
+                    # reference crashes in that event (parareal.py:396-397,
+                    # nnGPara_with_time.py:611-613); we fall back to the
+                    # classic parareal correction for those coordinates,
+                    # which never breaks convergence
+                    pred = jnp.where(
+                        jnp.isfinite(pred), pred, uF_ip1 - uG_ip1
+                    )
                     return pred + uGn, uGn
 
                 def frozen(u):
@@ -252,6 +262,9 @@ class Parareal:
             ds = Dataset(dsX, dsD, dsV)
             uGn = solver.coarse_step_raw(t_i, dt_slice, u_i)
             pred = model.predict_fn(state, ds, u_i, uF_ip1, uG_ip1, aux_i, i)
+            # non-finite GP predictions fall back to the classic parareal
+            # correction (see _make_sweep)
+            pred = jnp.where(jnp.isfinite(pred), pred, uF_ip1 - uG_ip1)
             return pred + uGn, uGn
 
         def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
@@ -461,7 +474,7 @@ class Parareal:
             if I == N:
                 if verbose == "v":
                     print("WARNING: early stopping")
-                err = np.asarray(jnp.max(jnp.abs(u_init - u), axis=1))
+                err = np.array(jnp.max(jnp.abs(u_init - u), axis=1))
                 err[-1] = np.nextafter(eps, 0)
                 err_cols.append(err)
                 conv_int.append(I)

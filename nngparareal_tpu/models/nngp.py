@@ -264,9 +264,23 @@ class NNGParareal(ModelBase):
         sqd_xx = gpops.pairwise_sq_dists(xm, xm)
         sqd_xq = gpops.sq_dists_to(q, xm)
 
+        if self.optimizer == "grid":
+            # per-coordinate target normalization: the integer grid's
+            # sigma_y support is [-8, 0), but late-iteration defects decay
+            # to ~1e-7 and beyond; the reference's Nelder-Mead wanders
+            # sigma_y freely (models.py:255-260). Scaling y to unit power
+            # moves the optimum back inside the grid; the posterior mean is
+            # linear in y, so predictions are rescaled after the fit.
+            count = jnp.maximum(jnp.sum(mask), 1.0)
+            power = jnp.sum((ym * mask[:, None]) ** 2, axis=0) / count
+            y_scale = jnp.where(power > 0, jnp.sqrt(power), 1.0)
+        else:
+            y_scale = jnp.ones(self.n)
+        ym_fit = ym / y_scale[None, :]
+
         jitter_vals = self._jitter_vals
         theta0 = aux_i["theta0"] if isinstance(aux_i, dict) and "theta0" in aux_i else None
-        thetas, fvals = self._optimize_thetas(sqd_xx, ym, mask, theta0)
+        thetas, fvals = self._optimize_thetas(sqd_xx, ym_fit, mask, theta0)
 
         # per-coordinate global NLL argmin (reference models.py:207-215)
         per = self.B // self.n
@@ -278,7 +292,9 @@ class NNGParareal(ModelBase):
         jv_best = jnp.take_along_axis(jv, best[:, None], axis=1)[:, 0]
 
         # lane-major posterior: one factorization per coordinate, all in
-        # the lane axis
-        return gplanes.posterior_mean_lanes(
-            sqd_xx, sqd_xq, ym, th_best, jv_best, mask
+        # the lane axis; fitted on the (possibly scaled) targets and
+        # rescaled back (posterior mean is linear in y)
+        preds = gplanes.posterior_mean_lanes(
+            sqd_xx, sqd_xq, ym_fit, th_best, jv_best, mask
         )
+        return preds * y_scale

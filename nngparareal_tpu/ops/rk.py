@@ -49,11 +49,12 @@ def rk_step(f, tableau, t, u, h):
     return u + h * acc
 
 
-def integrate_last(f, tableau, t0, dt, steps, u0):
+def integrate_last(f, tableau, t0, dt, steps, u0, unroll=4):
     """Integrate ``steps`` fixed RK steps from (t0, u0); return final state.
 
     ``steps`` must be a static Python int. Equivalent of reference
-    RK.py:146-174 (_RK_jax_last).
+    RK.py:146-174 (_RK_jax_last). ``unroll`` trades compile size for fewer
+    loop-bookkeeping stalls on long fine solves.
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -62,7 +63,8 @@ def integrate_last(f, tableau, t0, dt, steps, u0):
         t = t0 + n * dt
         return rk_step(f, tab, t, u, dt)
 
-    return lax.fori_loop(0, steps, body, u0)
+    unroll = max(1, min(int(unroll), steps)) if steps else 1
+    return lax.fori_loop(0, steps, body, u0, unroll=unroll)
 
 
 def integrate_traj(f, tableau, t0, dt, steps, u0):

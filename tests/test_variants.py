@@ -20,14 +20,16 @@ def _fhn(epsilon=5e-7):
                                       "row", "col_full"])
 def test_neighbor_strategies_run(strategy):
     p = _fhn()
-    out = p.run(model="nngp", nn=12, strategy=strategy, early_stop=3)
-    assert out["k"] == 3
+    # grid optimizer: deterministic, no inner NM loop -> fast CPU trace
+    out = p.run(model="nngp", nn=12, strategy=strategy, early_stop=2,
+                optimizer="grid", grid_refine=0)
+    assert out["k"] == 2
     assert np.all(np.isfinite(out["u"]))
 
 
 def test_nngp_time_converges():
     p = _fhn()
     out = p.run(model="nngp_time", nn=10, reps=2, nn_iters=2,
-                nm_max_iters=60, early_stop=4)
-    assert out["k"] == 4
+                nm_max_iters=40, early_stop=3)
+    assert out["k"] == 3
     assert np.all(np.isfinite(out["u"]))
