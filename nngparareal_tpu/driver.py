@@ -109,6 +109,8 @@ class Parareal:
                 "nm_max_iters",
                 "optimizer",
                 "grid_refine",
+                "grid_walk",
+                "score_dtype",
                 "strategy",
                 "theta",
                 "res_size",
@@ -129,25 +131,25 @@ class Parareal:
             kw.pop("reps", None)
             return NNGParareal(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
-            for bad in ("nn", "optimizer", "grid_refine", "strategy",
+            for bad in ("nn", "optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts"):
                 kw.pop(bad, None)
             return GParareal(n=self.n, N=self.N, **kw)
         if key in ("nngp_time", "nngptime"):
-            for bad in ("optimizer", "grid_refine", "strategy", "theta"):
+            for bad in ("optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta"):
                 kw.pop(bad, None)
             return NNGPTime(n=self.n, N=self.N, **kw)
         if key in ("knn_mean", "nn_mean", "knnmean"):
             from nngparareal_tpu.models import KNNMean
 
-            for bad in ("optimizer", "grid_refine", "strategy", "theta",
+            for bad in ("optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters"):
                 kw.pop(bad, None)
             return KNNMean(n=self.n, N=self.N, **kw)
         if key == "elm":
             kw.setdefault("seed", 47)
-            for bad in ("nn", "optimizer", "grid_refine", "strategy",
+            for bad in ("nn", "optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters", "theta"):
                 kw.pop(bad, None)

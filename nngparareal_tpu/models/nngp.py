@@ -42,6 +42,7 @@ class NNGParareal(ModelBase):
         nm_max_iters=200,
         optimizer="nm",
         grid_refine=2,
+        grid_walk=4,
         strategy="nn",
         score_dtype=None,
         **kwargs,
@@ -61,6 +62,7 @@ class NNGParareal(ModelBase):
         # while_loop), the BASELINE.json north-star formulation.
         self.optimizer = str(optimizer)
         self.grid_refine = int(grid_refine)
+        self.grid_walk = int(grid_walk)
         # neighbour-selection strategy over the (iteration, slice) data
         # grid: 'nn' (the paper's method) or one of the research variants
         # of reference nnGPara_with_time.py:27-184 — 'col_only', 'col+rnd',
@@ -165,12 +167,12 @@ class NNGParareal(ModelBase):
         neg, idx = jax.lax.top_k(-pen, m)
         return idx, jnp.isfinite(neg).astype(ds.valid.dtype)
 
-    def _optimize_thetas(self, sqd_xx, ym, mask, aux_i):
+    def _optimize_thetas(self, sqd_xx, ym, mask, aux_i, jitter_shift=0.0):
         """Per-task theta selection; returns (thetas (B,2), fvals (B,))."""
         coord_idx, jitter_vals = self._coord_idx, self._jitter_vals
 
         if self.optimizer == "grid":
-            return self._grid_shared(sqd_xx, ym, mask)
+            return self._grid_shared(sqd_xx, ym, mask, jitter_shift)
 
         y_tasks = ym[:, self._coord_idx]  # (m, B) one target column per task
 
@@ -191,7 +193,7 @@ class NNGParareal(ModelBase):
         )
         return th, fv
 
-    def _grid_shared(self, sqd_xx, ym, mask):
+    def _grid_shared(self, sqd_xx, ym, mask, jitter_shift=0.0):
         """Dense (theta x jitter) grid search with factorization sharing.
 
         The Gram matrix depends only on (theta, jitter), not on the target
@@ -204,31 +206,48 @@ class NNGParareal(ModelBase):
         jitter held fixed.
         """
         n = self.n
-        g = jnp.arange(-8.0, 0.0)
-        gx, gy = jnp.meshgrid(g, g)
+        # base grid: sigma_y on the reference's theta0 support [-8, 0)
+        # (models.py:192; targets are globally rescaled first), sigma_x
+        # extended DOWNWARD to [-14, 0) — the interpolation basin for
+        # near-duplicate neighbours (squared distances ~1e-14 between
+        # near-converged same-slice states) that the reference's
+        # multi-start Nelder-Mead reaches by walking below its -8 starts.
+        # The upward side (sigma_x >= 0, NLL-overfit corners the NM never
+        # visits) stays excluded. A local WALK + halving refinement then
+        # polishes the winner, like the NM trajectory would.
+        gx_vals = jnp.arange(-8.0, 0.0)
+        gy_vals = jnp.arange(-8.0, 0.0)
+        gx, gy = jnp.meshgrid(gx_vals, gy_vals)
         grid0 = jnp.stack([gx.ravel(), gy.ravel()], axis=1)  # (64, 2)
-        jit9 = jnp.asarray(np.arange(-20.0, -11.0))
+        # shift keeps the ABSOLUTE jitter equal to the reference's grid
+        # when the targets are rescaled (see predict_fn)
+        jit9 = jnp.asarray(np.arange(-20.0, -11.0)) + jitter_shift
         combo_th = jnp.repeat(grid0, 9, axis=0)  # (576, 2)
         combo_jit = jnp.tile(jit9, grid0.shape[0])  # (576,)
 
-        # all coordinates scored against all combos with B=576 in the lane
-        # axis; each combo factorized once (shared across coordinates)
+        # all coordinates scored against all combos with the combo batch in
+        # the lane axis; each combo factorized once (shared across coords)
         fv_all = gplanes.nll_lanes(
             sqd_xx, ym, combo_th, combo_jit, mask, dtype=self.score_dtype
-        )  # (n, 576)
+        )  # (n, G*9)
+        G = grid0.shape[0]
+        # joint argmin over all (theta, jitter) combos per coordinate
         best = jnp.argmin(fv_all, axis=1)  # (n,)
-        th_best = combo_th[best]  # (n, 2)
-        jit_best = combo_jit[best]  # (n,)
+        th_best = combo_th[best]
+        jit_best = combo_jit[best]
         fv_best = jnp.take_along_axis(fv_all, best[:, None], axis=1)[:, 0]
 
-        step = 0.5
-        for _ in range(self.grid_refine):
+        def theta_round(th_best, jit_best, fv_best, step, gate):
+            """3x3 theta neighbourhood, jitter locked; move if the gain
+            beats ``gate`` (the reference's NM never chases sub-fatol
+            gains, which on near-tied bimodal landscapes trade away
+            predictive quality)."""
             offs = jnp.array([-step, 0.0, step])
             ox, oy = jnp.meshgrid(offs, offs)
             neigh = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # (9, 2)
             cands = (th_best[:, None, :] + neigh[None]).reshape(-1, 2)
             jit_c = jnp.repeat(jit_best, 9)
-            y_c = jnp.repeat(ym, 9, axis=1)  # (m, n*9)
+            y_c = jnp.repeat(ym, 9, axis=1)
             fv_r = gplanes.nll_lanes(
                 sqd_xx, y_c[:, None, :], cands, jit_c, mask,
                 dtype=self.score_dtype,
@@ -238,16 +257,54 @@ class NNGParareal(ModelBase):
                 cands.reshape(n, 9, 2), b[:, None, None], 1
             )[:, 0]
             fv_new = jnp.take_along_axis(fv_r, b[:, None], 1)[:, 0]
-            improve = fv_new < fv_best
+            improve = fv_new < fv_best - gate
             th_best = jnp.where(improve[:, None], th_new, th_best)
             fv_best = jnp.where(improve, fv_new, fv_best)
+            return th_best, fv_best
+
+        def jitter_rescan(th_best, jit_best, fv_best, gate):
+            """Re-select the jitter with theta fixed — a theta reached by
+            walking often prefers a different noise floor than the base
+            grid's winner did (accepted only past ``gate``)."""
+            cands = jnp.repeat(th_best, 9, axis=0)
+            jit_c = jnp.tile(jit9, (n,))
+            y_c = jnp.repeat(ym, 9, axis=1)
+            fv_r = gplanes.nll_lanes(
+                sqd_xx, y_c[:, None, :], cands, jit_c, mask,
+                dtype=self.score_dtype,
+            )[0].reshape(n, 9)
+            b = jnp.argmin(fv_r, axis=1)
+            jit_new = jit9[b]
+            fv_new = jnp.take_along_axis(fv_r, b[:, None], 1)[:, 0]
+            improve = fv_new < fv_best - gate
+            jit_best = jnp.where(improve, jit_new, jit_best)
+            fv_best = jnp.where(improve, fv_new, fv_best)
+            return jit_best, fv_best
+
+        # walk: integer steps toward the local optimum (possibly outside
+        # the start box, like the reference's NM trajectories)
+        for _ in range(self.grid_walk):
+            th_best, fv_best = theta_round(
+                th_best, jit_best, fv_best, 1.0, self.fatol
+            )
+        # refine: halving steps around the landed optimum
+        step = 0.5
+        for _ in range(self.grid_refine):
+            th_best, fv_best = theta_round(
+                th_best, jit_best, fv_best, step, 0.0
+            )
             step *= 0.5
+        # final noise-floor re-selection + one polish round
+        jit_best, fv_best = jitter_rescan(
+            th_best, jit_best, fv_best, self.fatol
+        )
+        th_best, fv_best = theta_round(th_best, jit_best, fv_best, 0.5, 0.0)
 
         # expand back to coord-major per-task layout: put the winner in the
         # task slot whose jitter matches, +inf elsewhere, so the downstream
         # per-coordinate argmin/jitter selection is unchanged
         per = self.B // n
-        jit_tasks = self._jitter_vals.reshape(n, per)
+        jit_tasks = self._jitter_vals.reshape(n, per) + jitter_shift
         fv_tasks = jnp.where(
             jit_tasks == jit_best[:, None], fv_best[:, None], jnp.inf
         )
@@ -264,23 +321,39 @@ class NNGParareal(ModelBase):
         sqd_xx = gpops.pairwise_sq_dists(xm, xm)
         sqd_xq = gpops.sq_dists_to(q, xm)
 
+        # --- input/target standardization (grid mode only) --------------
+        # The grid explores (sigma_x, sigma_y) over the integer box
+        # [-8, 0)^2 — the same support as the reference's NM starts
+        # (models.py:192) — but the reference's Nelder-Mead wanders far
+        # outside that box when the data demands it (Hopf's time-augmented
+        # coordinate makes squared distances ~1e6; late-iteration defects
+        # decay to ~1e-14 power). Standardizing re-centres the box:
+        #   * distances are divided by their mean (sigma_x absorbs it);
+        #   * targets are divided by ONE global rms scale, and the jitter
+        #     exponents are shifted by -2 log10(scale) so the ABSOLUTE
+        #     jitter grid 1e-20..1e-12 is preserved exactly — the jitter's
+        #     role as a tuned noise floor relative to the kernel amplitude
+        #     is what lets the GP stop interpolating noise-level defects.
+        # Both are exact reparameterizations of the reference's candidate
+        # family; using one global y-scale keeps the factorization shared
+        # across coordinates. NM mode stays on raw inputs (strict parity).
         if self.optimizer == "grid":
-            # per-coordinate target normalization: the integer grid's
-            # sigma_y support is [-8, 0), but late-iteration defects decay
-            # to ~1e-7 and beyond; the reference's Nelder-Mead wanders
-            # sigma_y freely (models.py:255-260). Scaling y to unit power
-            # moves the optimum back inside the grid; the posterior mean is
-            # linear in y, so predictions are rescaled after the fit.
             count = jnp.maximum(jnp.sum(mask), 1.0)
-            power = jnp.sum((ym * mask[:, None]) ** 2, axis=0) / count
-            y_scale = jnp.where(power > 0, jnp.sqrt(power), 1.0)
+            power = jnp.sum((ym * mask[:, None]) ** 2, axis=0) / count  # (n,)
+            glob = jnp.max(power)
+            y_scale = jnp.where(glob > 0, jnp.sqrt(glob), 1.0)
+            jitter_shift = -2.0 * jnp.log10(y_scale)
+            ym_fit = ym / y_scale
         else:
-            y_scale = jnp.ones(self.n)
-        ym_fit = ym / y_scale[None, :]
+            y_scale = 1.0
+            jitter_shift = 0.0
+            ym_fit = ym
 
         jitter_vals = self._jitter_vals
         theta0 = aux_i["theta0"] if isinstance(aux_i, dict) and "theta0" in aux_i else None
-        thetas, fvals = self._optimize_thetas(sqd_xx, ym_fit, mask, theta0)
+        thetas, fvals = self._optimize_thetas(
+            sqd_xx, ym_fit, mask, theta0, jitter_shift
+        )
 
         # per-coordinate global NLL argmin (reference models.py:207-215)
         per = self.B // self.n
