@@ -242,7 +242,7 @@ class NNGParareal(ModelBase):
             beats ``gate`` (the reference's NM never chases sub-fatol
             gains, which on near-tied bimodal landscapes trade away
             predictive quality)."""
-            offs = jnp.array([-step, 0.0, step])
+            offs = step * jnp.array([-1.0, 0.0, 1.0])  # step may be traced
             ox, oy = jnp.meshgrid(offs, offs)
             neigh = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # (9, 2)
             cands = (th_best[:, None, :] + neigh[None]).reshape(-1, 2)
@@ -281,19 +281,28 @@ class NNGParareal(ModelBase):
             fv_best = jnp.where(improve, fv_new, fv_best)
             return jit_best, fv_best
 
-        # walk: integer steps toward the local optimum (possibly outside
-        # the start box, like the reference's NM trajectories)
-        for _ in range(self.grid_walk):
-            th_best, fv_best = theta_round(
-                th_best, jit_best, fv_best, 1.0, self.fatol
-            )
-        # refine: halving steps around the landed optimum
-        step = 0.5
+        # walk (integer steps toward the local optimum, possibly outside
+        # the start box, like the reference's NM trajectories) then refine
+        # (halving steps) — one lax.scan over the step schedule so the
+        # round graph is compiled once, not per round
+        sched_steps = [1.0] * self.grid_walk
+        sched_gates = [self.fatol] * self.grid_walk
+        s = 0.5
         for _ in range(self.grid_refine):
-            th_best, fv_best = theta_round(
-                th_best, jit_best, fv_best, step, 0.0
+            sched_steps.append(s)
+            sched_gates.append(0.0)
+            s *= 0.5
+        if sched_steps:
+            def round_body(carry, sx):
+                th, fv = carry
+                step, gate = sx
+                th, fv = theta_round(th, jit_best, fv, step, gate)
+                return (th, fv), None
+
+            (th_best, fv_best), _ = jax.lax.scan(
+                round_body, (th_best, fv_best),
+                (jnp.asarray(sched_steps), jnp.asarray(sched_gates)),
             )
-            step *= 0.5
         # final noise-floor re-selection + one polish round
         jit_best, fv_best = jitter_rescan(
             th_best, jit_best, fv_best, self.fatol

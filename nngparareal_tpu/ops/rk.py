@@ -49,7 +49,7 @@ def rk_step(f, tableau, t, u, h):
     return u + h * acc
 
 
-def integrate_last(f, tableau, t0, dt, steps, u0, unroll=4):
+def integrate_last(f, tableau, t0, dt, steps, u0, unroll=1):
     """Integrate ``steps`` fixed RK steps from (t0, u0); return final state.
 
     ``steps`` must be a static Python int. Equivalent of reference
@@ -147,12 +147,20 @@ def make_traj_integrator(f, tableau, steps, jit=True):
     return jax.jit(run) if jit else run
 
 
-def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True):
+# below this state dimension the batched fan-out transposes the state to
+# (dim, B): a (B, dim) array with dim ~ 3 uses 3 of the VPU's 128 lanes,
+# while (dim, B) puts the big slice batch in the lane axis
+_TRANSPOSE_DIM_CUTOFF = 64
+
+
+def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
+                                 unroll=1):
     """Build ``fan_out(t0s, t1s, U) -> (B, dim)``: the parareal fine fan-out.
 
-    One vmapped RK kernel over all B time slices at once — the TPU-native
+    One batched RK kernel over all B time slices at once — the TPU-native
     replacement for the reference's MPI pool.map over slices
-    (reference parareal.py:310-315).
+    (reference parareal.py:310-315). Low-dimensional systems run in
+    transposed (dim, B) layout so the slice batch fills the vector lanes.
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -160,16 +168,30 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True):
 
     def chunk_fn(t0s, dts, U, n_chunk):
         return jax.vmap(
-            lambda t0, dt, u0: integrate_last(f, tab, t0, dt, n_chunk, u0)
+            lambda t0, dt, u0: integrate_last(f, tab, t0, dt, n_chunk, u0,
+                                              unroll=unroll)
         )(t0s, dts, U)
+
+    # transposed path: f vectorized over the trailing batch axis, time as a
+    # (B,) vector — one program, no outer vmap, lanes = slices
+    fT = jax.vmap(f, in_axes=(0, 1), out_axes=1)
+
+    def chunk_fn_T(t0s, dts, UT, n_chunk):
+        return integrate_last(fT, tab, t0s, dts, n_chunk, UT, unroll=unroll)
 
     if jit:
         chunk_fn = jax.jit(chunk_fn, static_argnums=(3,))
+        chunk_fn_T = jax.jit(chunk_fn_T, static_argnums=(3,))
+
+    def dispatch(t0s, dts, U, n_chunk):
+        if U.shape[1] < _TRANSPOSE_DIM_CUTOFF:
+            return chunk_fn_T(t0s, dts, U.T, n_chunk).T
+        return chunk_fn(t0s, dts, U, n_chunk)
 
     if steps <= thresh:
         def run(t0s, t1s, U):
             dts = (t1s - t0s) / steps
-            return chunk_fn(t0s, dts, U, steps)
+            return dispatch(t0s, dts, U, steps)
         return run
 
     n_full, rem = divmod(steps, thresh)
@@ -178,9 +200,9 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True):
         dts = (t1s - t0s) / steps
         u = U
         for i in range(n_full):
-            u = chunk_fn(t0s + (i * thresh) * dts, dts, u, thresh)
+            u = dispatch(t0s + (i * thresh) * dts, dts, u, thresh)
         if rem:
-            u = chunk_fn(t0s + (n_full * thresh) * dts, dts, u, rem)
+            u = dispatch(t0s + (n_full * thresh) * dts, dts, u, rem)
         return u
 
     return run_paged
