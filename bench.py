@@ -61,6 +61,9 @@ def main():
         "F_time_s": round(out["timings"]["F_time"], 3),
         "G_time_s": round(out["timings"]["G_time"], 3),
         "mdl_tot_s": round(out["timings"]["mdl_tot_t"], 3),
+        "overhead_s": round(out["timings"].get("overhead_t", 0.0), 3),
+        "jit_compile_s": round(out["timings"].get("warmup_t", 0.0), 3),
+        "total_wall_s": round(out["timings"].get("total_wall", 0.0), 3),
         "baseline": {"K": BASELINE_K, "speedup": BASELINE_SPEEDUP},
     }
     print(json.dumps({"detail": info}), file=sys.stderr)
