@@ -66,12 +66,14 @@ def _run_models(p, model_kwargs, models, results_dir, tag, **common):
 
 def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
              store_int=False, fine_mult=10000):
-    """Hopf scalability (reference Hopf.py:60-92): Nf scaled x10000."""
+    """Hopf scalability (reference Hopf.py:60-92): Nf scaled x10000 and
+    fine solves paged in Nf/N/25 chunks (Hopf.py:65-69)."""
     ode = Hopf(normalization="-11")
     cfg = Config(ode, N=N).get()
+    Nf = cfg["Nf"] * fine_mult
     solver = RKSolver(
-        ode.get_vector_field(), cfg["Ng"], cfg["Nf"] * fine_mult,
-        G=cfg["G"], F=cfg["F"],
+        ode.get_vector_field(), cfg["Ng"], Nf,
+        G=cfg["G"], F=cfg["F"], thresh=max(Nf // 25, 1),
     )
     p = Parareal(ode, solver, cfg["tspan"], N, epsilon=5e-7)
     model_kwargs = {
@@ -120,11 +122,18 @@ def run_burgers(T=5.9, N=128, models=MODELS_DEFAULT, results_dir="results",
 
 def run_fhn_pde(dx, models=MODELS_DEFAULT, results_dir="results", mesh=None,
                 store_int=False):
-    """FHN 2D PDE, N=512, d=2*dx^2 (reference FHN_PDE.py:34-175)."""
+    """FHN 2D PDE, N=512, d=2*dx^2 (reference FHN_PDE.py:34-175).
+
+    Note: the scaling driver uses Nf = ceil(1e8/Ng)*Ng (FHN_PDE.py:54),
+    not the v3 Config's ~1e4, and pages fine solves in Nf/N/25 chunks."""
     ode = FHNPDE(d_x=dx, normalization="-11")
     cfg = Config(ode, d_x=dx).get()
+    N = cfg["N"]
+    Ng_tot = cfg["Ng"] * N
+    Nf = int(np.ceil(1e8 / Ng_tot) * Ng_tot) // N
     solver = RKSolver(
-        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+        ode.get_vector_field(), cfg["Ng"], Nf, G=cfg["G"], F=cfg["F"],
+        thresh=max(Nf // 25, 1),
     )
     p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=5e-7)
     model_kwargs = {"nngp": dict(nn=20)}
