@@ -419,7 +419,15 @@ class Parareal:
             warmed_buckets.add(N)
             _block(solver.run_G_chain(t_dev, u0_dev))
             if measure_serial_fine:
-                _block(solver.run_F(t[0], t[1], u0_dev))
+                # per-slice serial time is measured on a replicated
+                # micro-batch: degenerate (1,)/(dim,)-shaped long loops are
+                # pathologically slow on some TPU toolchains, and for a
+                # latency-bound step batch-8 wall == single-slice wall
+                bm = 8 if self.n >= 64 else 64
+                _block(solver.run_F_batch(
+                    jnp.full(bm, t[0]), jnp.full(bm, t[1]),
+                    jnp.tile(u0_dev, (bm, 1)),
+                ))
             saved = model.get_ckpt_state()
             if model.needs_dataset:
                 model.fit(ds, 0)
@@ -509,7 +517,13 @@ class Parareal:
                 uF = uF.at[start + 1 : N + 1].set(sub)
 
             if measure_serial_fine and per_slice_fine_t is None:
-                _, per_slice_fine_t = solver.run_F_timed(t[0], t[1], u[0])
+                bm = 8 if self.n >= 64 else 64
+                tic = time.perf_counter()
+                _block(solver.run_F_batch(
+                    jnp.full(bm, t[0]), jnp.full(bm, t[1]),
+                    jnp.tile(u[0], (bm, 1)),
+                ))
+                per_slice_fine_t = time.perf_counter() - tic
             if per_slice_fine_t is not None:
                 F_time_serial += per_slice_fine_t
 
