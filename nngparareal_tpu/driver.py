@@ -195,7 +195,7 @@ class Parareal:
 
         return fanout
 
-    def _make_sweep(self, model, cap):
+    def _make_sweep(self, model, cap, clip_lo=None, clip_hi=None):
         """Build the fused corrector sweep for the current static config."""
         solver = self.solver
         N = self.N
@@ -224,7 +224,19 @@ class Parareal:
                     pred = jnp.where(
                         jnp.isfinite(pred), pred, uF_ip1 - uG_ip1
                     )
-                    return pred + uGn, uGn
+                    u_ip1 = pred + uGn
+                    # if the coarse solve itself diverged (marginally
+                    # stable G hit a bad iterate — the reference crashes
+                    # here), reset the iterate to the last fine value:
+                    # always finite, convergence merely slows
+                    u_ip1 = jnp.where(jnp.isfinite(u_ip1), u_ip1, uF_ip1)
+                    uGn = jnp.where(jnp.isfinite(uGn), uGn, uF_ip1 - pred)
+                    if clip_lo is not None:
+                        # trajectory-informed bounds: garbage iterates far
+                        # outside the coarse-init range would blow up both
+                        # solvers (the reference crashes there)
+                        u_ip1 = jnp.clip(u_ip1, clip_lo, clip_hi)
+                    return u_ip1, uGn
 
                 def frozen(u):
                     return u_init_ip1, uG_init_ip1
@@ -249,7 +261,7 @@ class Parareal:
 
         return jax.jit(sweep)
 
-    def _make_host_sweep(self, model, cap):
+    def _make_host_sweep(self, model, cap, clip_lo=None, clip_hi=None):
         """Host loop over intervals calling one jitted interval step.
 
         Same contract as ``_make_sweep``. Used when the model's predict
@@ -271,9 +283,15 @@ class Parareal:
             uGn = solver.coarse_step_raw(t_i, dt_slice, u_i)
             pred = model.predict_fn(state, ds, u_i, uF_ip1, uG_ip1, aux_i, i)
             # non-finite GP predictions fall back to the classic parareal
-            # correction (see _make_sweep)
+            # correction; diverged coarse solves reset the iterate to the
+            # last fine value (see _make_sweep)
             pred = jnp.where(jnp.isfinite(pred), pred, uF_ip1 - uG_ip1)
-            return pred + uGn, uGn
+            u_ip1 = pred + uGn
+            u_ip1 = jnp.where(jnp.isfinite(u_ip1), u_ip1, uF_ip1)
+            uGn = jnp.where(jnp.isfinite(uGn), uGn, uF_ip1 - pred)
+            if clip_lo is not None:
+                u_ip1 = jnp.clip(u_ip1, clip_lo, clip_hi)
+            return u_ip1, uGn
 
         def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
                   state, aux):
@@ -338,6 +356,7 @@ class Parareal:
         measure_serial_fine=True,
         lag_k=None,
         sweep_mode="auto",
+        clip_iterates=True,
         comp_models=None,
         int_dir="",
         int_name=None,
@@ -363,7 +382,8 @@ class Parareal:
                     if sweep_mode == "host"
                     else self._make_sweep
                 )
-                sweep_cache[key] = make(model, cap)
+                sweep_cache[key] = make(model, cap, clip_bounds[0],
+                                        clip_bounds[1])
             return sweep_cache[key]
 
         # shadow comparison models (reference Figure_2.py comp_mdls
@@ -389,6 +409,16 @@ class Parareal:
         ds = Dataset.empty(cap0 if collect_data else N, n)
 
         u0_dev = jnp.asarray(self.u0)
+
+        # trajectory-informed iterate bounds (used by clip_iterates):
+        # computed from the coarse-init trajectory with a 3x range margin
+        clip_bounds = [None, None]
+        if clip_iterates:
+            uG_probe = _block(solver.run_G_chain(t_dev, u0_dev))
+            lo = jnp.min(uG_probe, axis=0)
+            hi = jnp.max(uG_probe, axis=0)
+            rng_ = jnp.maximum(hi - lo, 1e-6)
+            clip_bounds = [lo - 3.0 * rng_, hi + 3.0 * rng_]
 
         # fan-out size buckets (smallest first): the active tail shrinks as
         # slices converge; four sizes bound recompiles while capturing most
