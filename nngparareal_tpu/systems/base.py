@@ -28,6 +28,11 @@ class ODE:
         raw = self._f
         if norm.is_identity:
             return raw
+        # systems may provide an algebraically fused normalized field
+        # (saves the affine unwrap/rescale ops in the RK hot loop)
+        fused = getattr(self, "_f_norm11", None)
+        if fused is not None and norm.norm_type == "-11":
+            return fused
         scale = norm.get_scale()
 
         def f_normalized(t, u):

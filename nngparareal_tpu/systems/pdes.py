@@ -131,6 +131,16 @@ class Burgers(ODE):
         u_x = (up - um) * self._inv_2h
         return u_xx - u * u_x
 
+    def _f_norm11(self, t, v):
+        """[-1,1]-normalized field fused algebraically (bounds [0,1]^d):
+        u=(v+1)/2 and scale=2 give f_n(v) = Dxx v - (v+1)(Dx v)/2, saving
+        the affine unwrap/rescale ops in the RK hot loop."""
+        vp = jnp.roll(v, -1)
+        vm = jnp.roll(v, 1)
+        v_xx = (vp - 2.0 * v + vm) * self._inv_h2
+        v_x = (vp - vm) * (0.5 * self._inv_2h)
+        return v_xx - (v + 1.0) * v_x
+
 
 class DiffReact(ODE):
     """2D diffusion-reaction two-species system with Neumann-like BC,

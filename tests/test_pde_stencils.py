@@ -29,3 +29,17 @@ def test_fhn_pde_stencil_matches_dense():
     want = np.concatenate([U, V])
     got = np.asarray(ode._f(0.0, jnp.asarray(y)))
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_burgers_fused_normalized_field():
+    """The algebraically fused [-1,1]-normalized field must equal the
+    generic unwrap-rescale wrapper."""
+    import jax.numpy as jnp
+
+    ode = Burgers(d_x=48, normalization="-11")
+    norm = ode.normalizer
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, 48)
+    want = np.asarray(ode._f(0.0, jnp.asarray(norm.inverse(v)))) * norm.get_scale()
+    got = np.asarray(ode.get_vector_field()(0.0, jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-15)
