@@ -163,3 +163,19 @@ class ScipySolver(SolverAbstr):
 
     def run_G(self, t0, t1, u0):
         return self.rk.run_G(t0, t1, u0)
+
+    # engine surface: host-looped fine fan-out (scipy is a CPU validation
+    # path; the coarse side delegates to the RK kernels)
+    def run_F_batch(self, t0s, t1s, U):
+        t0s, t1s, U = np.asarray(t0s), np.asarray(t1s), np.asarray(U)
+        out = [self.run_F(t0s[i], t1s[i], U[i]) for i in range(U.shape[0])]
+        return jnp.asarray(np.stack(out))
+
+    def run_G_chain(self, t, u0):
+        return self.rk.run_G_chain(t, u0)
+
+    def coarse_step_raw(self, t0, dt_slice, u0):
+        return self.rk.coarse_step_raw(t0, dt_slice, u0)
+
+    def fine_step_raw(self, t0, dt_slice, u0):
+        return self.rk.fine_step_raw(t0, dt_slice, u0)
