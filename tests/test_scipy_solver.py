@@ -1,15 +1,20 @@
 """ScipySolver validation path (reference solver.py:116-148)."""
 
+import os
+
 import numpy as np
+import pytest
 
 from nngparareal_tpu import FHNODE, ScipySolver, RKSolver, Parareal
+
+RUN_SLOW = os.environ.get("RUN_SLOW", "0") == "1"
 
 
 def test_scipy_fine_matches_rk():
     ode = FHNODE(normalization="-11")
     f = ode.get_vector_field()
-    rk = RKSolver(f, 4, 4000, G="RK2", F="RK4")
-    sp = ScipySolver(f, 4, 4000, G="RK2", F="RK4", rtol=1e-10, atol=1e-12)
+    rk = RKSolver(f, 4, 1500, G="RK2", F="RK4")
+    sp = ScipySolver(f, 4, 1500, G="RK2", F="RK4", rtol=1e-10, atol=1e-12)
     u0 = ode.get_init_cond()
     a = np.asarray(rk.run_F(0.0, 1.0, u0))
     b = np.asarray(sp.run_F(0.0, 1.0, u0))
@@ -20,6 +25,7 @@ def test_scipy_fine_matches_rk():
     )
 
 
+@pytest.mark.skipif(not RUN_SLOW, reason="scipy fine solves via python callbacks are minutes on CPU")
 def test_parareal_with_scipy_solver():
     """Mini parareal run with the adaptive scipy fine solver (the
     reference's SolverScipy CPU validation path, solver.py:116-148).
