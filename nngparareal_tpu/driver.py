@@ -127,6 +127,7 @@ class Parareal:
                 "m",
                 "nn_iters",
                 "reps",
+                "calc_detail_avg",
             )
         }
         if key == "parareal":
@@ -298,13 +299,18 @@ class Parareal:
             I = int(I)
             u_rows = [u_init[i] for i in range(I + 1)]
             uG_rows = [uG_init[i] for i in range(I + 1)]
+            record = getattr(model, "record_interval_time", None)
             for i in range(I, N):
                 aux_i = jax.tree.map(lambda a: a[i], aux)
+                tic = time.perf_counter()
                 u_ip1, uG_ip1 = step(
                     t0_glob + i * dt_slice, u_rows[i], uF_k[i + 1],
                     uG_k[i + 1], dsX, dsD, dsV, state, aux_i,
                     jnp.asarray(i),
                 )
+                if record is not None:
+                    _block(u_ip1)
+                    record(i, time.perf_counter() - tic)
                 u_rows.append(u_ip1)
                 uG_rows.append(uG_ip1)
             u_next = jnp.stack(u_rows)

@@ -76,6 +76,14 @@ class NNGParareal(ModelBase):
         # optional down-cast for hyperparameter *scoring* only (ranking
         # candidates); the posterior mean always runs f64
         self.score_dtype = score_dtype
+        # per-(iteration, interval) timing detail (reference
+        # models.py:119-143: calc_detail_avg / calc_parall_overhead).
+        # Populated by the host sweep (sweep_mode='host'); the fused scan
+        # sweep cannot attribute per-interval wall time.
+        self.calc_detail_avg = bool(kwargs.get("calc_detail_avg", False))
+        self.detail_avg = np.zeros((N, N)) if self.calc_detail_avg else None
+        self.tot_train_t = 0.0
+        self.train_count = 0
         self.k = 0
 
         jitters = np.arange(-20.0, -11.0)  # 9 values (models.py:186)
@@ -104,6 +112,26 @@ class NNGParareal(ModelBase):
 
     def reset_rng(self):
         self.rng = np.random.default_rng(self.seed)
+
+    def record_interval_time(self, i, seconds):
+        """Called by the host sweep per interval (models.py:223-224)."""
+        self.tot_train_t += seconds
+        self.train_count += 1
+        if self.calc_detail_avg and self.k < self.N and i < self.N:
+            self.detail_avg[self.k, i] = seconds
+
+    def get_times(self):
+        out = super().get_times()
+        out.update(
+            serial_train_time=self.tot_train_t,
+            avg_serial_train_time=(
+                self.tot_train_t / self.train_count if self.train_count else 0.0
+            ),
+            calc_detail_avg=(
+                self.detail_avg[: self.k + 1] if self.calc_detail_avg else None
+            ),
+        )
+        return out
 
     def static_signature(self, k):
         if self.strategy == "nn":

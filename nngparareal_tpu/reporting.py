@@ -259,6 +259,32 @@ def plot_run(p, skip=(), add_name=True, add_title=""):
     return figs
 
 
+def plot_dataset_geometry(run, coords=(0, 1), nn=15):
+    """Dataset geometry + nearest-neighbour distance structure of a run
+    (reference dataset_visualization.py:20-160): a scatter of the
+    accumulated training states on two coordinates, and the distribution
+    of distances to the nn-th nearest neighbour across the dataset."""
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(run["x"])
+    if x.shape[0] == 0:
+        return None
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+    axes[0].scatter(x[:, coords[0]], x[:, coords[1]], s=3, alpha=0.5)
+    axes[0].set_xlabel(f"$x_{{{coords[0]}}}$")
+    axes[0].set_ylabel(f"$x_{{{coords[1]}}}$")
+    axes[0].set_title("training states")
+
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    kth = np.sort(d2, axis=1)[:, : min(nn, x.shape[0] - 1)]
+    axes[1].hist(np.log10(np.maximum(kth[:, -1], 1e-300)), bins=40)
+    axes[1].set_xlabel(f"log10 sq-dist to {nn}th neighbour")
+    axes[1].set_title("neighbourhood scale")
+    fig.tight_layout()
+    return fig
+
+
 def plot_all_err(p, key):
     import matplotlib.pyplot as plt
 

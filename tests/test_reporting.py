@@ -1,0 +1,71 @@
+"""Reporting layer: plots render, tables format, speedup math."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from nngparareal_tpu import FHNODE, Config, RKSolver, Parareal
+from nngparareal_tpu.reporting import (
+    est_serial,
+    calc_speedup,
+    calc_exp_speedup,
+    calc_exp_gp_cost,
+    calc_exp_nngp_cost_precise,
+    conv_intervals_per_iter,
+    plot_run,
+    plot_dataset_geometry,
+)
+from nngparareal_tpu.utils import store_fig, slim_run
+
+
+@pytest.fixture(scope="module")
+def run_pair(tmp_path_factory):
+    ode = FHNODE(normalization="-11")
+    cfg = Config(ode).get()
+    solver = RKSolver(
+        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+    )
+    p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=5e-7,
+                 verbose=None)
+    p.run(model="parareal")
+    p.run(model="nngp", nn=15, optimizer="grid", cstm_mdl_name="NNGP")
+    return p
+
+
+def test_plots_render(run_pair, tmp_path):
+    figs = plot_run(run_pair)
+    assert len(figs) == 2
+    store_fig(figs[0], "test_fig", img_dir=str(tmp_path))
+    assert (tmp_path / "test_fig.png").exists()
+    assert (tmp_path / "test_fig.pdf").exists()
+
+    fig = plot_dataset_geometry(run_pair.runs["NNGP"])
+    assert fig is not None
+
+
+def test_conv_counting_matches_conv_int(run_pair):
+    run = run_pair.runs["NNGP"]
+    out, one_step = conv_intervals_per_iter(run["err"], run_pair.epsilon)
+    assert int(np.nansum(out)) == run_pair.N
+
+
+def test_speedup_calculators(run_pair):
+    run = run_pair.runs["NNGP"]
+    N = run_pair.N
+    s = est_serial(run, N)
+    assert s > 0
+    assert calc_speedup(run, N=N) == pytest.approx(
+        s / run["timings"]["runtime"]
+    )
+    # theoretical calculators return finite positive values
+    assert calc_exp_speedup(run, calc_exp_gp_cost, N=N, n_cores=47,
+                            d=run_pair.n) > 0
+    assert calc_exp_nngp_cost_precise(run, 47, N, run_pair.n) >= 0
+
+
+def test_slim_run(run_pair):
+    slim = slim_run(run_pair.runs["NNGP"])
+    assert "x" not in slim and "err" in slim
