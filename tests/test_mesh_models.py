@@ -11,20 +11,18 @@ from nngparareal_tpu.parallel.mesh import make_mesh
 
 
 def _build():
+    # mini FHN config: equivalence/checkpoint semantics don't need the
+    # paper-sized problem (keeps the suite fast)
     ode = FHNODE(normalization="-11")
-    cfg = Config(ode).get()
-    solver = RKSolver(
-        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
-    )
-    return Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=5e-7,
-                    verbose=None)
+    solver = RKSolver(ode.get_vector_field(), 4, 400, G="RK2", F="RK4")
+    return Parareal(ode, solver, [0, 16], 16, epsilon=5e-7, verbose=None)
 
 
 def test_nngp_grid_on_mesh_matches_single_device():
     mesh = make_mesh(8)
-    out_mesh = _build().run(model="nngp", nn=15, optimizer="grid", mesh=mesh,
+    out_mesh = _build().run(model="nngp", nn=10, optimizer="grid", mesh=mesh,
                             early_stop=3)
-    out_one = _build().run(model="nngp", nn=15, optimizer="grid",
+    out_one = _build().run(model="nngp", nn=10, optimizer="grid",
                            early_stop=3)
     assert out_mesh["conv_int"] == out_one["conv_int"]
     np.testing.assert_allclose(out_mesh["u"], out_one["u"], rtol=1e-10)
@@ -32,17 +30,17 @@ def test_nngp_grid_on_mesh_matches_single_device():
 
 def test_checkpoint_resume_nngp(tmp_path):
     p_full = _build()
-    out_full = p_full.run(model="nngp", nn=15, optimizer="grid", early_stop=4)
+    out_full = p_full.run(model="nngp", nn=10, optimizer="grid", early_stop=4)
 
     p_int = _build()
-    p_int.run(model="nngp", nn=15, optimizer="grid", store_int=True,
+    p_int.run(model="nngp", nn=10, optimizer="grid", store_int=True,
               int_dir=str(tmp_path), early_stop=2)
     ckpt_dir = os.path.join(str(tmp_path), f"{p_int.ode_name}_{p_int.N}_NNGP_int")
     ckpts = sorted(os.listdir(ckpt_dir), key=lambda s: int(s.rsplit("_", 1)[-1]))
     ckpt = os.path.join(ckpt_dir, ckpts[-1])
 
     p_res = _build()
-    out_res = p_res.load_int_dump(ckpt, model="nngp", nn=15, optimizer="grid",
+    out_res = p_res.load_int_dump(ckpt, model="nngp", nn=10, optimizer="grid",
                                   early_stop=4)
     assert out_res["k"] == out_full["k"]
     np.testing.assert_allclose(out_res["u"], out_full["u"], rtol=1e-9)
