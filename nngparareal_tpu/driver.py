@@ -853,6 +853,31 @@ class Parareal:
             u_full.append(traj)
         return np.vstack(u_full)
 
+    def store(self, name, path="", slim=False):
+        """Dump this solver's runs as a result artifact (the reference
+        pickles the whole Parareal object, parareal.py:114-139; here the
+        unpicklable device state is left out by construction).
+
+        slim=True strips bulky arrays like the reference's
+        preprocessing.py repo-slimming pass.
+        """
+        from nngparareal_tpu.utils.io import store_pickle, slim_run
+
+        runs = {
+            k: (slim_run(v) if slim else v) for k, v in self.runs.items()
+        }
+        payload = {
+            "ode_name": self.ode_name,
+            "tspan": self.tspan,
+            "N": self.N,
+            "epsilon": self.epsilon,
+            "n": self.n,
+            "runs": runs,
+            "fine_t": self.fine_t,
+        }
+        store_pickle(payload, name, path)
+        return payload
+
     def clear_plot_obj(self):
         self.runs = {}
 

@@ -69,3 +69,13 @@ def test_speedup_calculators(run_pair):
 def test_slim_run(run_pair):
     slim = slim_run(run_pair.runs["NNGP"])
     assert "x" not in slim and "err" in slim
+
+
+def test_store_artifact(run_pair, tmp_path):
+    from nngparareal_tpu.utils import read_pickle
+
+    run_pair.store("artifact.pkl", path=str(tmp_path), slim=True)
+    payload = read_pickle("artifact.pkl", path=str(tmp_path))
+    assert payload["N"] == run_pair.N
+    assert set(payload["runs"]) == set(run_pair.runs)
+    assert "x" not in payload["runs"]["NNGP"]
