@@ -13,6 +13,8 @@ batched program on the MXU instead of the reference's process-pool fan-out
 of scipy optimisations.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -22,7 +24,7 @@ from nngparareal_tpu.ops.linalg_small import (
     chol_solve_small,
 )
 
-_LOG_2PI = float(jnp.log(2 * jnp.pi))
+_LOG_2PI = math.log(2 * math.pi)
 
 # below this size, use the trace-time-unrolled Cholesky/solves: XLA's
 # blocked while-loop cholesky is both slow and (on some TPU toolchains)

@@ -12,6 +12,8 @@ objectives), where each parareal interval evaluates hundreds of candidate
 (theta, jitter) pairs on a shared m x m squared-distance matrix.
 """
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -86,7 +88,7 @@ def solve_upper_lanes(U, Y):
     return jnp.stack(xs, axis=0)
 
 
-_LOG_2PI = float(jnp.log(2 * jnp.pi))
+_LOG_2PI = math.log(2 * math.pi)
 
 
 def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
