@@ -106,14 +106,14 @@ def run_tomlab(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
 
 
 def run_burgers(T=5.9, N=128, models=MODELS_DEFAULT, results_dir="results",
-                mesh=None, store_int=False, nn=18):
+                mesh=None, store_int=False, nn=18, seed=45):
     """Viscous Burgers d=N=128 (reference Burgers.py:27-122)."""
     ode = Burgers(d_x=N, normalization="-11")
     Ng = 4  # per-slice; totals Ng=4N
     Nf = Ng * 10000
     solver = RKSolver(ode.get_vector_field(), Ng, Nf, G="RK1", F="RK8")
     p = Parareal(ode, solver, [0.0, T], N, epsilon=5e-7)
-    model_kwargs = {"nngp": dict(nn=nn)}
+    model_kwargs = {"nngp": dict(nn=nn, seed=seed)}
     return _run_models(
         p, model_kwargs, models, results_dir, f"burgers_{N}_T{T}",
         mesh=mesh, store_int=store_int,
@@ -184,13 +184,16 @@ def run_table2(epsilon=5e-7, models=MODELS_DEFAULT, results_dir="results",
 def run_burgers_across_m(ms=range(11, 31), seeds=range(100), T=5.9,
                          results_dir="results", mesh=None):
     """K and speedup distribution vs neighbour count m
-    (Burgers_perf_across_m.py:100-135)."""
+    (Burgers_perf_across_m.py:100-135). Each seed is threaded through to
+    the nnGP's restart RNG, as `s.run(..., nn=nn, seed=seed)` does in the
+    reference (Burgers_perf_across_m.py:117)."""
     rows = []
     for m in ms:
         for seed in seeds:
             try:
                 res = run_burgers(
-                    T=T, models=("nngp",), results_dir=None, mesh=mesh, nn=m
+                    T=T, models=("nngp",), results_dir=None, mesh=mesh,
+                    nn=m, seed=int(seed),
                 )[0]
                 rows.append({"m": m, "seed": seed, "k": res["k"],
                              "speedup": res["speedup"]})

@@ -163,10 +163,14 @@ class GParareal(ModelBase):
         )
         return None
 
-    def _rescue(self, dsX, dsD, dsV, th, jv, fv, bad, depth=0):
-        """Random-restart rescue for +inf coords (models.py:358-384)."""
-        if depth > 20:
-            raise RuntimeError("GP random-restart rescue failed to find a finite NLL")
+    def _rescue(self, dsX, dsD, dsV, th, jv, fv, bad, max_attempts=20):
+        """Random-restart rescue for +inf coords (models.py:358-384).
+
+        The reference retries a failing coordinate with fresh random draws
+        until it finds a finite NLL (unbounded recursion,
+        models.py:378-382); here each coordinate gets up to ``max_attempts``
+        rounds of ``tot_rnd * nj`` batched restarts before raising.
+        """
         nj = len(self._jitters)
         tot_rnd = max(3, int(self.N / 9))
         jitters = jnp.asarray(self._jitters)
@@ -174,7 +178,6 @@ class GParareal(ModelBase):
 
         for j in bad:
             y = dsD[:, int(j)]
-            starts = 10.0 ** self.rng.uniform(-4, 1, (tot_rnd * nj, 2))
             jit_tasks = jnp.tile(jitters, tot_rnd)
 
             def obj(thetas, _y=y, _jt=jit_tasks):  # (B, C, 2) -> (B, C)
@@ -186,17 +189,24 @@ class GParareal(ModelBase):
                     )(th_c)
                 return jax.vmap(per_task)(thetas, _jt)
 
-            th_r, fv_r, _ = nelder_mead(
-                obj, jnp.asarray(starts), max_iters=self.nm_max_iters,
-                fatol=self.fatol, xatol=self.xatol,
-            )
-            fv_r = np.asarray(fv_r)
-            best = int(np.argmin(fv_r))
-            if not np.isfinite(fv_r[best]):
-                return self._rescue(ds, th, jv, fv, bad, depth + 1)
-            th[int(j)] = np.asarray(th_r)[best]
-            jv[int(j)] = float(np.asarray(jit_tasks)[best])
-            fv[int(j)] = fv_r[best]
+            for attempt in range(max_attempts):
+                starts = 10.0 ** self.rng.uniform(-4, 1, (tot_rnd * nj, 2))
+                th_r, fv_r, _ = nelder_mead(
+                    obj, jnp.asarray(starts), max_iters=self.nm_max_iters,
+                    fatol=self.fatol, xatol=self.xatol,
+                )
+                fv_r = np.asarray(fv_r)
+                best = int(np.argmin(fv_r))
+                if np.isfinite(fv_r[best]):
+                    th[int(j)] = np.asarray(th_r)[best]
+                    jv[int(j)] = float(np.asarray(jit_tasks)[best])
+                    fv[int(j)] = fv_r[best]
+                    break
+            else:
+                raise RuntimeError(
+                    f"GP random-restart rescue failed for coordinate {int(j)}: "
+                    f"no finite NLL after {max_attempts} rounds"
+                )
         return th, jv, fv
 
     def state_pytree(self):
