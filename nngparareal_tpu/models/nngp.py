@@ -45,6 +45,9 @@ class NNGParareal(ModelBase):
         grid_walk=4,
         strategy="nn",
         score_dtype=None,
+        selector="nll",
+        loo_top=12,
+        loo_window=3.0,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -63,6 +66,17 @@ class NNGParareal(ModelBase):
         self.optimizer = str(optimizer)
         self.grid_refine = int(grid_refine)
         self.grid_walk = int(grid_walk)
+        # candidate selection among the grid's NLL evaluations:
+        # 'nll'  — per-coordinate NLL argmin (reference models.py:207-215);
+        # 'loo'  — among candidates within ``loo_window`` nats of the best
+        #          NLL (top ``loo_top`` checked), pick the one with the
+        #          smallest closed-form leave-one-out squared residual.
+        #          Near-tied NLL basins can differ wildly in predictive
+        #          quality (the Hopf failure mode); LOO measures prediction
+        #          error directly.
+        self.selector = str(selector)
+        self.loo_top = int(loo_top)
+        self.loo_window = float(loo_window)
         # neighbour-selection strategy over the (iteration, slice) data
         # grid: 'nn' (the paper's method) or one of the research variants
         # of reference nnGPara_with_time.py:27-184 — 'col_only', 'col+rnd',
@@ -259,11 +273,34 @@ class NNGParareal(ModelBase):
             sqd_xx, ym, combo_th, combo_jit, mask, dtype=self.score_dtype
         )  # (n, G*9)
         G = grid0.shape[0]
-        # joint argmin over all (theta, jitter) combos per coordinate
-        best = jnp.argmin(fv_all, axis=1)  # (n,)
-        th_best = combo_th[best]
-        jit_best = combo_jit[best]
-        fv_best = jnp.take_along_axis(fv_all, best[:, None], axis=1)[:, 0]
+        if self.selector == "loo":
+            # LOO-gated basin choice: take the top-S NLL candidates per
+            # coordinate, keep those within loo_window nats of the best,
+            # and pick the smallest leave-one-out squared residual
+            S = min(self.loo_top, fv_all.shape[1])
+            negv, topidx = jax.lax.top_k(-fv_all, S)  # (n, S), fv ascending
+            fv_cand = -negv
+            th_cand = combo_th[topidx]  # (n, S, 2)
+            jit_cand = combo_jit[topidx]  # (n, S)
+            y_rep = jnp.repeat(ym, S, axis=1)  # (m, n*S) coord-major
+            loo = gplanes.loo_lanes(
+                sqd_xx, y_rep[:, None, :], th_cand.reshape(-1, 2),
+                jit_cand.reshape(-1), mask, dtype=self.score_dtype,
+            )[0].reshape(n, S)
+            gate_ok = fv_cand <= fv_cand[:, :1] + self.loo_window
+            loo_gated = jnp.where(gate_ok, loo, jnp.inf)
+            bsel = jnp.argmin(loo_gated, axis=1)  # (n,)
+            th_best = jnp.take_along_axis(
+                th_cand, bsel[:, None, None], axis=1
+            )[:, 0]
+            jit_best = jnp.take_along_axis(jit_cand, bsel[:, None], 1)[:, 0]
+            fv_best = jnp.take_along_axis(fv_cand, bsel[:, None], 1)[:, 0]
+        else:
+            # joint argmin over all (theta, jitter) combos per coordinate
+            best = jnp.argmin(fv_all, axis=1)  # (n,)
+            th_best = combo_th[best]
+            jit_best = combo_jit[best]
+            fv_best = jnp.take_along_axis(fv_all, best[:, None], axis=1)[:, 0]
 
         def theta_round(th_best, jit_best, fv_best, step, gate):
             """3x3 theta neighbourhood, jitter locked; move if the gain
@@ -399,6 +436,13 @@ class NNGParareal(ModelBase):
         jv = jitter_vals.reshape(self.n, per)
         best = jnp.argmin(fv, axis=1)
         th_best = jnp.take_along_axis(th, best[:, None, None], axis=1)[:, 0, :]
+        # NOTE the posterior deliberately fits with the UNSHIFTED jitter
+        # exponent on the scaled targets: scoring ranks candidates at the
+        # reference's absolute noise floor (shifted grid), while the actual
+        # prediction interpolates harder (floor 10^shift smaller). Refitting
+        # with the shifted value is the reference-parity choice but measures
+        # WORSE end-to-end (Hopf-32 K=15 vs 12) — the near-converged defect
+        # targets are smooth, so the tighter interpolant wins.
         jv_best = jnp.take_along_axis(jv, best[:, None], axis=1)[:, 0]
 
         # lane-major posterior: one factorization per coordinate, all in

@@ -38,8 +38,20 @@ def masked_gram_lanes(K, mask, jitter_pow):
     return Km + eye[:, :, None] * (10.0 ** jitter_pow)[None, None, :]
 
 
-def cholesky_lanes(A):
-    """Cholesky of A (m, m, B), unrolled over columns; all ops (*, B)."""
+def cholesky_lanes(A, pivot_floor=None):
+    """Cholesky of A (m, m, B), unrolled over columns; all ops (*, B).
+
+    ``pivot_floor`` (e.g. ``64 * eps``) clamps each pivot at
+    ``pivot_floor * A[j, j]`` before the sqrt. Near-singular Grams (exact
+    duplicate dataset rows with jitter below f64 resolution) then factor
+    to a large-but-finite NLL instead of NaN -> +inf: the computed pivot
+    at the singular boundary is pure rounding noise of magnitude
+    ~m*eps*A_jj anyway, so the clamp keeps the value approximately right
+    while making the NLL landscape continuous — deep interpolation basins
+    stay evaluable instead of dying by rounding luck (the reference's
+    np/jax cholesky failures achieve the same exclusion only
+    stochastically).
+    """
     m = A.shape[0]
     cols = []  # column j as (m, B)
     for j in range(m):
@@ -48,8 +60,12 @@ def cholesky_lanes(A):
             prior = jnp.stack(cols, axis=0)  # (j, m, B)
             Lj = prior[:, j, :]  # (j, B)
             s = s - jnp.sum(prior * Lj[:, None, :], axis=0)
-        d = jnp.sqrt(s[j])
+        sj = s[j]
+        if pivot_floor is not None:
+            sj = jnp.maximum(sj, pivot_floor * A[j, j, :])
+        d = jnp.sqrt(sj)
         col = s / d[None, :]
+        col = col.at[j, :].set(d)
         if j:
             keep = (jnp.arange(m) >= j)[:, None]
             col = jnp.where(keep, col, 0.0)
@@ -92,7 +108,7 @@ _LOG_2PI = math.log(2 * math.pi)
 
 
 def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
-              dtype=None):
+              dtype=None, pivot_floor=None):
     """Masked GP NLL for B (theta, jitter) candidates sharing one dataset.
 
     sqd: (m, m); Y: (m, r) targets (r coordinates) or (m, r, B) per-task;
@@ -112,7 +128,7 @@ def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
         mask = mask.astype(dtype)
     K = kernel(sqd, theta)
     Kj = masked_gram_lanes(K, mask, jitter_pow)
-    L = cholesky_lanes(Kj)
+    L = cholesky_lanes(Kj, pivot_floor=pivot_floor)
     if Y.ndim == 2:
         Ym = (Y * mask[:, None])[:, :, None]  # (m, r, 1), broadcasts over B
     else:
@@ -127,8 +143,49 @@ def nll_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
     return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
 
 
+def loo_lanes(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
+              dtype=None, pivot_floor=None):
+    """Masked leave-one-out squared-residual score for B candidates.
+
+    Closed form (Rasmussen & Williams sec. 5.4.2): with alpha = K^-1 y and
+    c = diag(K^-1), the LOO prediction residual at point i is
+    alpha_i / c_i — no m separate refits needed. Returns the masked sum of
+    squared LOO residuals, shape (r, B), non-finite -> +inf.
+
+    Used to discriminate near-tied NLL optima: an interpolating
+    hyperparameter choice (tiny length scale) has near-zero training
+    residual and excellent NLL but large LOO residuals, which is exactly
+    the failure mode behind late-iteration K inflation on the Hopf family
+    (the reference's scipy NM avoids those basins only by the luck of its
+    integer starts, models.py:192).
+    """
+    if dtype is not None:
+        sqd = sqd.astype(dtype)
+        Y = Y.astype(dtype)
+        theta = theta.astype(dtype)
+        jitter_pow = jitter_pow.astype(dtype)
+        mask = mask.astype(dtype)
+    K = kernel(sqd, theta)
+    Kj = masked_gram_lanes(K, mask, jitter_pow)
+    L = cholesky_lanes(Kj, pivot_floor=pivot_floor)
+    if Y.ndim == 2:
+        Ym = (Y * mask[:, None])[:, :, None]
+    else:
+        Ym = Y * mask[:, None, None]
+    Z = solve_lower_lanes(L, Ym)
+    alpha = solve_upper_lanes(jnp.swapaxes(L, 0, 1), Z)  # (m, r, B)
+    m = sqd.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype)[:, :, None], L.shape)
+    W = solve_lower_lanes(L, eye)  # L^-1, (m, m, B)
+    cdiag = jnp.sum(W * W, axis=0)  # diag(K^-1) = column sumsq of L^-1
+    resid = alpha / cdiag[:, None, :]
+    ssr = jnp.sum((resid * resid) * mask[:, None, None], axis=0)  # (r, B)
+    ssr = ssr.astype(jnp.promote_types(ssr.dtype, jnp.float64))
+    return jnp.where(jnp.isfinite(ssr), ssr, jnp.inf)
+
+
 def posterior_mean_lanes(sqd, sqd_q, Y, theta, jitter_pow, mask,
-                         kernel=k_se_log10_lanes):
+                         kernel=k_se_log10_lanes, pivot_floor=None):
     """Posterior means for B per-coordinate (theta, jitter) picks.
 
     sqd: (m, m); sqd_q: (m,); Y: (m, B) one target column per task;
@@ -136,7 +193,7 @@ def posterior_mean_lanes(sqd, sqd_q, Y, theta, jitter_pow, mask,
     """
     K = kernel(sqd, theta)
     Kj = masked_gram_lanes(K, mask, jitter_pow)
-    L = cholesky_lanes(Kj)
+    L = cholesky_lanes(Kj, pivot_floor=pivot_floor)
     Ym = (Y * mask[:, None])[:, None, :]  # (m, 1, B)
     Z = solve_lower_lanes(L, Ym)
     alpha = solve_upper_lanes(jnp.swapaxes(L, 0, 1), Z)[:, 0, :]  # (m, B)

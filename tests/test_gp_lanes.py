@@ -61,3 +61,29 @@ def test_posterior_lanes_matches_rowmajor():
             gpops.k_se_log10,
         )
         np.testing.assert_allclose(got[b], float(want), rtol=1e-9)
+
+
+def test_loo_lanes_matches_explicit_refits():
+    """Closed-form LOO residuals == actually deleting each point and
+    refitting (numpy oracle), on the valid rows only."""
+    sqd, Y, thetas, jitters, mask = _setup(m=12, n=3, B=4, pad=3, seed=2)
+    got = np.asarray(gplanes.loo_lanes(sqd, Y, thetas, jitters, mask))
+
+    X = None  # distances already given
+    sqd_np = np.asarray(sqd)
+    mask_np = np.asarray(mask)
+    valid = np.where(mask_np > 0)[0]
+    for b in range(thetas.shape[0]):
+        th = np.asarray(thetas[b])
+        K_full = 10.0 ** th[1] * np.exp(-0.5 * 10.0 ** (-th[0]) * sqd_np)
+        K_full = K_full + np.eye(len(mask_np)) * 10.0 ** float(jitters[b])
+        for r in range(Y.shape[1]):
+            y = np.asarray(Y[:, r])
+            ssr = 0.0
+            for i in valid:
+                tr = np.array([j for j in valid if j != i])
+                K = K_full[np.ix_(tr, tr)]
+                kq = K_full[i, tr]
+                mu = kq @ np.linalg.solve(K, y[tr])
+                ssr += (mu - y[i]) ** 2
+            np.testing.assert_allclose(got[r, b], ssr, rtol=1e-8)
