@@ -136,6 +136,14 @@ class Parareal:
             kw.pop("nn_iters", None)
             kw.pop("reps", None)
             return NNGParareal(n=self.n, N=self.N, **kw)
+        if key in ("nngp_scipy", "nngp_oracle"):
+            from nngparareal_tpu.models.nngp_scipy import NNGPScipy
+
+            for bad in ("optimizer", "grid_refine", "grid_walk",
+                        "score_dtype", "strategy", "theta", "nn_iters",
+                        "reps", "nm_max_iters"):
+                kw.pop(bad, None)
+            return NNGPScipy(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
             for bad in ("nn", "optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts"):
@@ -262,7 +270,8 @@ class Parareal:
 
         return jax.jit(sweep)
 
-    def _make_host_sweep(self, model, cap, clip_lo=None, clip_hi=None):
+    def _make_host_sweep(self, model, cap, clip_lo=None, clip_hi=None,
+                         jit_step=True):
         """Host loop over intervals calling one jitted interval step.
 
         Same contract as ``_make_sweep``. Used when the model's predict
@@ -272,13 +281,16 @@ class Parareal:
         zero device work (exactly like the reference's ``for i in
         range(I, N)``, parareal.py:359-382), at the cost of one dispatch
         per interval.
+
+        ``jit_step=False`` (the ``python`` sweep mode) leaves the interval
+        step un-jitted so ``host_only`` models (e.g. the scipy-NM oracle
+        NNGPScipy) can run plain numpy/scipy inside predict_fn.
         """
         solver = self.solver
         N = self.N
         t0_glob = self.tspan[0]
         dt_slice = (self.tspan[1] - self.tspan[0]) / N
 
-        @jax.jit
         def step(t_i, u_i, uF_ip1, uG_ip1, dsX, dsD, dsV, state, aux_i, i):
             ds = Dataset(dsX, dsD, dsV)
             uGn = solver.coarse_step_raw(t_i, dt_slice, u_i)
@@ -293,6 +305,9 @@ class Parareal:
             if clip_lo is not None:
                 u_ip1 = jnp.clip(u_ip1, clip_lo, clip_hi)
             return u_ip1, uGn
+
+        if jit_step:
+            step = jax.jit(step)
 
         def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
                   state, aux):
@@ -323,6 +338,9 @@ class Parareal:
 
     @staticmethod
     def _resolve_sweep_mode(sweep_mode, model):
+        if getattr(model, "host_only", False):
+            # numpy/scipy predict (the NNGPScipy oracle): never jitted
+            return "python"
         if sweep_mode != "auto":
             return sweep_mode
         backend = jax.default_backend()
@@ -383,13 +401,19 @@ class Parareal:
         def get_sweep(cap, sig):
             key = (cap, sig)
             if key not in sweep_cache:
-                make = (
-                    self._make_host_sweep
-                    if sweep_mode == "host"
-                    else self._make_sweep
-                )
-                sweep_cache[key] = make(model, cap, clip_bounds[0],
-                                        clip_bounds[1])
+                if sweep_mode == "python":
+                    sweep_cache[key] = self._make_host_sweep(
+                        model, cap, clip_bounds[0], clip_bounds[1],
+                        jit_step=False,
+                    )
+                else:
+                    make = (
+                        self._make_host_sweep
+                        if sweep_mode == "host"
+                        else self._make_sweep
+                    )
+                    sweep_cache[key] = make(model, cap, clip_bounds[0],
+                                            clip_bounds[1])
             return sweep_cache[key]
 
         # shadow comparison models (reference Figure_2.py comp_mdls

@@ -52,11 +52,16 @@ def _summarize(name, out, N):
     }
 
 
-def _run_models(p, model_kwargs, models, results_dir, tag, **common):
+def _run_models(p, model_kwargs, models, results_dir, tag, nngp_kw=None,
+                **common):
     rows = []
     for mdl in models:
         kw = dict(common)
         kw.update(model_kwargs.get(mdl, {}))
+        if nngp_kw and mdl == "nngp":
+            # caller overrides (e.g. optimizer='grid', the TPU-native
+            # deterministic hyperopt — the NM default is reference parity)
+            kw.update(nngp_kw)
         out = p.run(model=mdl, **kw)
         rows.append(_summarize(mdl, out, p.N))
         if results_dir:
@@ -65,7 +70,7 @@ def _run_models(p, model_kwargs, models, results_dir, tag, **common):
 
 
 def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
-             store_int=False, fine_mult=10000):
+             store_int=False, fine_mult=10000, nngp_kw=None):
     """Hopf scalability (reference Hopf.py:60-92): Nf scaled x10000 and
     fine solves paged in Nf/N/25 chunks (Hopf.py:65-69)."""
     ode = Hopf(normalization="-11")
@@ -82,12 +87,12 @@ def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
     }
     return _run_models(
         p, model_kwargs, models, results_dir, f"hopf_{N}",
-        mesh=mesh, store_int=store_int,
+        mesh=mesh, store_int=store_int, nngp_kw=nngp_kw,
     )
 
 
 def run_tomlab(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
-               store_int=False):
+               store_int=False, nngp_kw=None):
     """Thomas labyrinth scalability (reference TomLab.py:72-116)."""
     ode = ThomasLabyrinth(normalization="-11")
     cfg = Config(ode, N=N).get()
@@ -101,12 +106,12 @@ def run_tomlab(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
     }
     return _run_models(
         p, model_kwargs, models, results_dir, f"tomlab_{N}",
-        mesh=mesh, store_int=store_int,
+        mesh=mesh, store_int=store_int, nngp_kw=nngp_kw,
     )
 
 
 def run_burgers(T=5.9, N=128, models=MODELS_DEFAULT, results_dir="results",
-                mesh=None, store_int=False, nn=18, seed=45):
+                mesh=None, store_int=False, nn=18, seed=45, nngp_kw=None):
     """Viscous Burgers d=N=128 (reference Burgers.py:27-122)."""
     ode = Burgers(d_x=N, normalization="-11")
     Ng = 4  # per-slice; totals Ng=4N
@@ -116,12 +121,12 @@ def run_burgers(T=5.9, N=128, models=MODELS_DEFAULT, results_dir="results",
     model_kwargs = {"nngp": dict(nn=nn, seed=seed)}
     return _run_models(
         p, model_kwargs, models, results_dir, f"burgers_{N}_T{T}",
-        mesh=mesh, store_int=store_int,
+        mesh=mesh, store_int=store_int, nngp_kw=nngp_kw,
     )
 
 
 def run_fhn_pde(dx, models=MODELS_DEFAULT, results_dir="results", mesh=None,
-                store_int=False):
+                store_int=False, nngp_kw=None):
     """FHN 2D PDE, N=512, d=2*dx^2 (reference FHN_PDE.py:34-175).
 
     Note: the scaling driver uses Nf = ceil(1e8/Ng)*Ng (FHN_PDE.py:54),
@@ -139,7 +144,7 @@ def run_fhn_pde(dx, models=MODELS_DEFAULT, results_dir="results", mesh=None,
     model_kwargs = {"nngp": dict(nn=20)}
     return _run_models(
         p, model_kwargs, models, results_dir, f"fhn_pde_{dx}",
-        mesh=mesh, store_int=store_int,
+        mesh=mesh, store_int=store_int, nngp_kw=nngp_kw,
     )
 
 
@@ -218,6 +223,9 @@ def main(argv=None):
     ap.add_argument("--models", nargs="+", default=list(MODELS_DEFAULT))
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--mesh-devices", type=int, default=None)
+    ap.add_argument("--nngp-grid", action="store_true",
+                    help="nnGP grid hyperopt (TPU-native path; default is "
+                         "the reference-parity Nelder-Mead)")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -226,16 +234,19 @@ def main(argv=None):
 
         mesh = make_mesh(args.mesh_devices)
 
+    nngp_kw = dict(optimizer="grid") if args.nngp_grid else None
     if args.experiment == "hopf":
-        rows = run_hopf(args.N or 32, tuple(args.models), args.results_dir, mesh)
+        rows = run_hopf(args.N or 32, tuple(args.models), args.results_dir,
+                        mesh, nngp_kw=nngp_kw)
     elif args.experiment == "tomlab":
-        rows = run_tomlab(args.N or 32, tuple(args.models), args.results_dir, mesh)
+        rows = run_tomlab(args.N or 32, tuple(args.models), args.results_dir,
+                          mesh, nngp_kw=nngp_kw)
     elif args.experiment == "burgers":
         rows = run_burgers(args.T, args.N or 128, tuple(args.models),
-                           args.results_dir, mesh)
+                           args.results_dir, mesh, nngp_kw=nngp_kw)
     elif args.experiment == "fhn_pde":
         rows = run_fhn_pde(args.dx or 10, tuple(args.models),
-                           args.results_dir, mesh)
+                           args.results_dir, mesh, nngp_kw=nngp_kw)
     elif args.experiment == "table2":
         rows = run_table2(args.epsilon, tuple(args.models), args.results_dir,
                           mesh)

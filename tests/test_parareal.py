@@ -128,3 +128,36 @@ def test_reporting_tables():
     assert "Speed-up" in txt2
     txt3 = p.print_speedup(md=False)
     assert "tabular" in txt3
+
+
+def test_nngp_scipy_oracle_smoke():
+    """The host-only scipy-NM oracle (models/nngp_scipy.py) plugs into the
+    driver's non-jitted python sweep and makes normal progress."""
+    p = _fhn_parareal()
+    out = p.run(model="nngp_scipy", nn=15, early_stop=2)
+    assert out["k"] == 2 and np.isfinite(out["err"]).all()
+
+
+@pytest.mark.skipif(not RUN_SLOW, reason="scipy NM per task is minutes on CPU")
+def test_fhn_nngp_scipy_oracle_k5():
+    p = _fhn_parareal()
+    out = p.run(model="nngp_scipy", nn=15)
+    assert out["converged"]
+    assert out["k"] == 5  # BASELINE.md Table 1, FHN / nnGParareal / 5e-7
+
+
+@pytest.mark.skipif(not RUN_SLOW, reason="scipy NM per task is minutes on CPU")
+def test_hopf_nngp_scipy_oracle_k9():
+    """Reference-parity oracle reproduces the published Hopf-32 K exactly
+    (reference Table 2: nnGParareal K=9 at eps=5e-7), validating the whole
+    data pipeline — the batched-optimizer gap is isolated to theta search."""
+    from nngparareal_tpu import Hopf
+
+    ode = Hopf(normalization="-11")
+    cfg = Config(ode, N=32).get()
+    solver = RKSolver(ode.get_vector_field(), cfg["Ng"], cfg["Nf"],
+                      G=cfg["G"], F=cfg["F"])
+    p = Parareal(ode, solver, cfg["tspan"], 32, epsilon=5e-7, verbose=None)
+    out = p.run(model="nngp_scipy", nn=15)
+    assert out["converged"]
+    assert out["k"] == 9
