@@ -113,6 +113,7 @@ class Parareal:
                 "xatol",
                 "nm_max_iters",
                 "optimizer",
+                "posterior",
                 "grid_refine",
                 "grid_walk",
                 "score_dtype",
@@ -145,25 +146,25 @@ class Parareal:
                 kw.pop(bad, None)
             return NNGPScipy(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
-            for bad in ("nn", "optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy",
+            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts"):
                 kw.pop(bad, None)
             return GParareal(n=self.n, N=self.N, **kw)
         if key in ("nngp_time", "nngptime"):
-            for bad in ("optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta"):
+            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta"):
                 kw.pop(bad, None)
             return NNGPTime(n=self.n, N=self.N, **kw)
         if key in ("knn_mean", "nn_mean", "knnmean"):
             from nngparareal_tpu.models import KNNMean
 
-            for bad in ("optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta",
+            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters"):
                 kw.pop(bad, None)
             return KNNMean(n=self.n, N=self.N, **kw)
         if key == "elm":
             kw.setdefault("seed", 47)
-            for bad in ("nn", "optimizer", "grid_refine", "grid_walk", "score_dtype", "strategy",
+            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters", "theta"):
                 kw.pop(bad, None)

@@ -26,6 +26,12 @@ from nngparareal_tpu.ops import gp_lanes as gplanes
 from nngparareal_tpu.ops.nn_select import nearest_neighbors
 from nngparareal_tpu.ops.optim import nelder_mead
 
+# relative Cholesky pivot clamp for the posterior solve (64 eps_f64): at
+# the singular boundary the computed pivot is rounding noise of magnitude
+# ~m*eps*K_jj, so clamping there preserves the value to O(sqrt(m*eps))
+# while keeping deep interpolation basins evaluable
+_POSTERIOR_PIVOT_FLOOR = 64.0 * float(jnp.finfo(jnp.float64).eps)
+
 
 class NNGParareal(ModelBase):
     name = "NNGP"
@@ -77,6 +83,15 @@ class NNGParareal(ModelBase):
         self.selector = str(selector)
         self.loo_top = int(loo_top)
         self.loo_window = float(loo_window)
+        # posterior solve: 'chol' (default; lane-major Cholesky — NaNs at
+        # the exact-singular boundary fall back to the bare correction in
+        # the driver) or 'lu' (partial-pivoted solve like the reference's
+        # np.linalg.solve predict, models.py:177-183+434-445 — keeps
+        # boundary interpolants; CPU-only: XLA's TPU LuDecomposition has
+        # no f64). With exact pairwise distances (ops/gp.py) the chol
+        # path already reaches published K on every system; 'lu' remains
+        # as the reference-behavior research option.
+        self.posterior = str(kwargs.pop("posterior", "chol"))
         # neighbour-selection strategy over the (iteration, slice) data
         # grid: 'nn' (the paper's method) or one of the research variants
         # of reference nnGPara_with_time.py:27-184 — 'col_only', 'col+rnd',
@@ -447,8 +462,31 @@ class NNGParareal(ModelBase):
 
         # lane-major posterior: one factorization per coordinate, all in
         # the lane axis; fitted on the (possibly scaled) targets and
-        # rescaled back (posterior mean is linear in y)
-        preds = gplanes.posterior_mean_lanes(
-            sqd_xx, sqd_xq, ym_fit, th_best, jv_best, mask
-        )
+        # rescaled back (posterior mean is linear in y). NOTE clamping
+        # near-singular pivots here (pivot_floor) makes the bad solves
+        # finite GARBAGE that poisons the iterate (measured Hopf-32 K=24);
+        # leaving them NaN lets the driver's finite-guard fall back to the
+        # bare correction instead (K=12)
+        if self.posterior == "lu":
+            # reference-behavior posterior (np.linalg.solve): keeps the
+            # near-singular boundary interpolants the search selects.
+            # Ablation on the scipy oracle shows this solve is
+            # load-bearing for the reference: its Hopf-32 K jumps from 9
+            # to 32 when the predict solve is Cholesky instead. A
+            # magnitude gate vs the neighbour defect scale rejects the
+            # occasional garbage solve (falls back to the Cholesky
+            # posterior, whose NaNs the driver maps to bare correction).
+            p_lu = gplanes.posterior_mean_lu(
+                sqd_xx, sqd_xq, ym_fit, th_best, jv_best, mask
+            )
+            p_chol = gplanes.posterior_mean_lanes(
+                sqd_xx, sqd_xq, ym_fit, th_best, jv_best, mask
+            )
+            y_mag = jnp.max(jnp.abs(ym_fit) * mask[:, None], axis=0)  # (n,)
+            sane = jnp.isfinite(p_lu) & (jnp.abs(p_lu) <= 10.0 * y_mag + 1e-30)
+            preds = jnp.where(sane, p_lu, p_chol)
+        else:
+            preds = gplanes.posterior_mean_lanes(
+                sqd_xx, sqd_xq, ym_fit, th_best, jv_best, mask
+            )
         return preds * y_scale

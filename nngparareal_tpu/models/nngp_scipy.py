@@ -47,7 +47,7 @@ class NNGPScipy(ModelBase):
     host_only = True
 
     def __init__(self, n, N, nn="adaptive", n_restarts=1, seed=45,
-                 fatol=None, xatol=None, **kwargs):
+                 fatol=None, xatol=None, record=False, **kwargs):
         super().__init__(n, N, **kwargs)
         self.nn = nn
         self.n_restarts = int(n_restarts)
@@ -57,6 +57,9 @@ class NNGPScipy(ModelBase):
         self.xatol = 1e-1 if xatol is None else float(xatol)
         self.k = 0
         self._X = self._D = self._valid = None
+        # optional diagnostics: {(k, i): [(fval, theta, jitter), ...coord]}
+        self.record = bool(record)
+        self.picks = {}
 
     def m_for(self, k):
         if isinstance(self.nn, str) and self.nn == "adaptive":
@@ -118,6 +121,11 @@ class NNGPScipy(ModelBase):
             )
             if res.fun < best[c][0]:
                 best[c] = (res.fun, res.x, jit)
+        if self.record:
+            self.picks[(self.k, int(i))] = [
+                (float(b[0]), None if b[1] is None else np.array(b[1]),
+                 b[2]) for b in best
+            ]
         for c in range(self.n):
             fv, th, jit = best[c]
             if th is None or not np.isfinite(fv):

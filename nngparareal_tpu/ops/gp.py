@@ -35,12 +35,34 @@ _SMALL_M = 48
 def pairwise_sq_dists(x, y):
     """Squared euclidean distances, (Nx, d) x (Ny, d) -> (Nx, Ny).
 
-    Matmul (MXU) form; clipped at zero against cancellation.
+    EXACT difference form (like the reference's scipy cdist,
+    models.py:177,306), NOT the matmul expansion |x|^2+|y|^2-2xy: the
+    expansion's cancellation error is ~|x|^2 * eps absolute, which on the
+    time-augmented Hopf systems (|x|^2 ~ 1e3) is ~1e-13 — LARGER than the
+    true squared distances (~1e-12) between a query and its own
+    convergence history at late iterations. Those cluster geometries are
+    exactly what the near-singular GP interpolants resolve, so the
+    expansion form silently destroys late-iteration prediction quality
+    (measured: Hopf-32 K=12-15 with the expansion vs 9-10 published).
+    Large inputs are processed in row blocks to bound the (bs, Ny, d)
+    intermediate.
     """
-    x2 = jnp.sum(x * x, axis=-1)
-    y2 = jnp.sum(y * y, axis=-1)
-    xy = x @ y.T
-    return jnp.maximum(x2[:, None] + y2[None, :] - 2.0 * xy, 0.0)
+    Nx, d = x.shape
+    Ny = y.shape[0]
+    if Nx * Ny * d <= (1 << 22):
+        diff = x[:, None, :] - y[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    # blocked: bs rows of x at a time (bs * Ny * d * 8B <= ~64 MB)
+    bs = max(1, (1 << 23) // max(Ny * d, 1))
+    while Nx % bs:
+        bs -= 1
+
+    def row_block(xb):
+        diff = xb[:, None, :] - y[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    out = jax.lax.map(row_block, x.reshape(Nx // bs, bs, d))
+    return out.reshape(Nx, Ny)
 
 
 def sq_dists_to(query, X):

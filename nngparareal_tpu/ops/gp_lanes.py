@@ -199,3 +199,29 @@ def posterior_mean_lanes(sqd, sqd_q, Y, theta, jitter_pow, mask,
     alpha = solve_upper_lanes(jnp.swapaxes(L, 0, 1), Z)[:, 0, :]  # (m, B)
     k_star = kernel(sqd_q[:, None], theta)[:, 0, :] * mask[:, None]  # (m, B)
     return jnp.sum(k_star * alpha, axis=0)
+
+
+def posterior_mean_lu(sqd, sqd_q, Y, theta, jitter_pow, mask,
+                      kernel=k_se_log10_lanes):
+    """Posterior means via batched LU (partial pivoting) instead of the
+    lane-major Cholesky.
+
+    At the boundary of the interpolation regime (near-duplicate dataset
+    rows, jitter below f64 resolution of the Gram) the Cholesky breaks
+    down, but the LINEAR SYSTEM K alpha = y is still solvable by LU with
+    partial pivoting and yields the interpolating predictor — this is
+    what the reference's scipy pipeline effectively uses at predict time
+    (np.linalg.solve, models.py:178), and on the Hopf family those
+    boundary interpolants predict near-converged defects to ~1e-11 where
+    every well-conditioned candidate stalls at ~1e-6. B small systems
+    (coords), so the row-major batched XLA LU is acceptable here — this
+    runs once per (interval, coordinate), not inside the theta search.
+    """
+    m = sqd.shape[0]
+    K = kernel(sqd, theta)  # (m, m, B)
+    Kj = masked_gram_lanes(K, mask, jitter_pow)
+    A = jnp.moveaxis(Kj, -1, 0)  # (B, m, m)
+    y = jnp.moveaxis((Y * mask[:, None]), -1, 0)[:, :, None]  # (B, m, 1)
+    alpha = jnp.linalg.solve(A, y)[:, :, 0]  # (B, m)
+    k_star = kernel(sqd_q[:, None], theta)[:, 0, :] * mask[:, None]  # (m, B)
+    return jnp.sum(k_star * alpha.T, axis=0)
