@@ -116,6 +116,7 @@ class Parareal:
                 "posterior",
                 "grid_refine",
                 "grid_walk",
+                "grid_polish",
                 "score_dtype",
                 "strategy",
                 "theta",
@@ -140,31 +141,31 @@ class Parareal:
         if key in ("nngp_scipy", "nngp_oracle"):
             from nngparareal_tpu.models.nngp_scipy import NNGPScipy
 
-            for bad in ("optimizer", "grid_refine", "grid_walk",
+            for bad in ("optimizer", "grid_refine", "grid_walk", "grid_polish",
                         "score_dtype", "strategy", "theta", "nn_iters",
                         "reps", "nm_max_iters"):
                 kw.pop(bad, None)
             return NNGPScipy(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
-            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy",
+            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts"):
                 kw.pop(bad, None)
             return GParareal(n=self.n, N=self.N, **kw)
         if key in ("nngp_time", "nngptime"):
-            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta"):
+            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy", "theta"):
                 kw.pop(bad, None)
             return NNGPTime(n=self.n, N=self.N, **kw)
         if key in ("knn_mean", "nn_mean", "knnmean"):
             from nngparareal_tpu.models import KNNMean
 
-            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy", "theta",
+            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy", "theta",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters"):
                 kw.pop(bad, None)
             return KNNMean(n=self.n, N=self.N, **kw)
         if key == "elm":
             kw.setdefault("seed", 47)
-            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "score_dtype", "strategy",
+            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters", "theta"):
                 kw.pop(bad, None)
@@ -344,13 +345,10 @@ class Parareal:
             return "python"
         if sweep_mode != "auto":
             return sweep_mode
-        backend = jax.default_backend()
-        has_inner_loop = (
-            getattr(model, "optimizer", None) == "nm" and model.needs_dataset
-            and isinstance(model, NNGParareal)
-        )
-        if backend != "cpu" and has_inner_loop:
-            return "host"
+        # all built-in models are scan-safe: the NM mode uses the
+        # fixed-iteration fori_loop Nelder-Mead (ops/optim.py
+        # nelder_mead_fixed), so the while-in-scan TPU miscompile that
+        # used to force a host sweep for it no longer applies
         return "scan"
 
     # ------------------------------------------------------------------

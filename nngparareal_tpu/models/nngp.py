@@ -24,7 +24,7 @@ from nngparareal_tpu.models.base import ModelBase
 from nngparareal_tpu.ops import gp as gpops
 from nngparareal_tpu.ops import gp_lanes as gplanes
 from nngparareal_tpu.ops.nn_select import nearest_neighbors
-from nngparareal_tpu.ops.optim import nelder_mead
+from nngparareal_tpu.ops.optim import nelder_mead, nelder_mead_fixed
 
 # relative Cholesky pivot clamp for the posterior solve (64 eps_f64): at
 # the singular boundary the computed pivot is rounding noise of magnitude
@@ -72,6 +72,11 @@ class NNGParareal(ModelBase):
         self.optimizer = str(optimizer)
         self.grid_refine = int(grid_refine)
         self.grid_walk = int(grid_walk)
+        # >0: replace the walk/refine rounds with a fixed-iteration
+        # batched Nelder-Mead polish per (coord x jitter) from the grid
+        # argmin (see _grid_shared); the deterministic equivalent of the
+        # reference's scipy NM tasks
+        self.grid_polish = int(kwargs.pop("grid_polish", 0))
         # candidate selection among the grid's NLL evaluations:
         # 'nll'  — per-coordinate NLL argmin (reference models.py:207-215);
         # 'loo'  — among candidates within ``loo_window`` nats of the best
@@ -244,8 +249,13 @@ class NNGParareal(ModelBase):
             )  # (1, B*C)
             return fv[0].reshape(Bc, C)
 
-        th, fv, _ = nelder_mead(
-            obj, aux_i, max_iters=self.nm_max_iters,
+        # fixed-iteration NM: identical lockstep algorithm, but a
+        # fori_loop with converged-simplex freezing instead of a
+        # while_loop — safe to nest inside the TPU sweep scan (the
+        # while-in-scan miscompile is why NM mode previously needed the
+        # host sweep); extra iterations on converged simplexes are no-ops
+        th, fv = nelder_mead_fixed(
+            obj, aux_i, iters=self.nm_max_iters,
             fatol=self.fatol, xatol=self.xatol,
         )
         return th, fv
@@ -288,6 +298,51 @@ class NNGParareal(ModelBase):
             sqd_xx, ym, combo_th, combo_jit, mask, dtype=self.score_dtype
         )  # (n, G*9)
         G = grid0.shape[0]
+
+        if self.grid_polish > 0:
+            # scipy-NM-equivalent deterministic hyperopt: per (coord x
+            # jitter), start a FIXED-ITERATION batched Nelder-Mead from
+            # that jitter's best grid point and argmin the polished NLLs
+            # over jitters — the reference's argmin-over-optimized-tasks
+            # (models.py:185-226) with the random integer starts replaced
+            # by the 64-point grid scan (deterministic, and a strictly
+            # better start). fori_loop NM nests safely inside the TPU
+            # sweep scan, unlike the while_loop NM mode.
+            n_, nj = self.n, 9
+            fv_gj = fv_all.reshape(n_, G, nj)
+            b0 = jnp.argmin(fv_gj, axis=1)  # (n, 9) best grid idx per jitter
+            th0 = grid0[b0.reshape(-1)]  # (n*9, 2) coord-major
+            jit_t = jnp.tile(jit9, (n_,))  # (n*9,)
+            y_cols = jnp.repeat(jnp.arange(n_), nj)
+
+            def obj(thetas):  # (B, C, 2) -> (B, C)
+                Bc, C, _ = thetas.shape
+                th_flat = thetas.reshape(-1, 2)
+                jit_flat = jnp.repeat(jit_t, C)
+                y_flat = jnp.repeat(ym[:, y_cols], C, axis=1)  # (m, B*C)
+                fv = gplanes.nll_lanes(
+                    sqd_xx, y_flat[:, None, :], th_flat, jit_flat, mask,
+                    dtype=self.score_dtype,
+                )
+                return fv[0].reshape(Bc, C)
+
+            th_pol, fv_pol = nelder_mead_fixed(
+                obj, th0, iters=self.grid_polish,
+                fatol=self.fatol, xatol=self.xatol,
+            )
+            fv_pol = fv_pol.reshape(n_, nj)
+            th_pol = th_pol.reshape(n_, nj, 2)
+            bj = jnp.argmin(fv_pol, axis=1)  # (n,)
+            th_best = jnp.take_along_axis(th_pol, bj[:, None, None], 1)[:, 0]
+            jit_best = jit9[bj]
+            fv_best = jnp.take_along_axis(fv_pol, bj[:, None], 1)[:, 0]
+            per = self.B // self.n
+            jit_tasks = self._jitter_vals.reshape(self.n, per) + jitter_shift
+            fv_tasks = jnp.where(
+                jit_tasks == jit_best[:, None], fv_best[:, None], jnp.inf
+            )
+            th_tasks = jnp.broadcast_to(th_best[:, None, :], (self.n, per, 2))
+            return th_tasks.reshape(-1, 2), fv_tasks.reshape(-1)
         if self.selector == "loo":
             # LOO-gated basin choice: take the top-S NLL candidates per
             # coordinate, keep those within loo_window nats of the best,

@@ -62,3 +62,21 @@ def test_grid_search():
 
     x, f = grid_search(obj, grid)
     np.testing.assert_allclose(np.asarray(x[0]), [0.5, -1.0], atol=0.06)
+
+
+def test_nelder_mead_fixed_matches_while_version():
+    """The fori_loop NM (scan-safe) reaches the same minima as the
+    while_loop NM on a batch of shifted Rosenbrock problems."""
+    import jax.numpy as jnp
+    from nngparareal_tpu.ops.optim import nelder_mead, nelder_mead_fixed
+
+    def obj(pts):  # (B, C, 2) -> (B, C)
+        x, y = pts[..., 0], pts[..., 1]
+        return (1.0 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+    x0 = jnp.asarray([[-1.2, 1.0], [2.0, 2.0], [0.0, 0.0], [-0.5, 1.5]])
+    xw, fw, _ = nelder_mead(obj, x0, max_iters=500, fatol=1e-10, xatol=1e-10)
+    xf, ff = nelder_mead_fixed(obj, x0, iters=500, fatol=1e-10, xatol=1e-10)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xw), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fw), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(xf), np.ones((4, 2)), atol=1e-4)
