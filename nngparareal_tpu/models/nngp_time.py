@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from nngparareal_tpu.models.base import ModelBase
 from nngparareal_tpu.ops import gp as gpops
-from nngparareal_tpu.ops.optim import nelder_mead
+from nngparareal_tpu.ops.optim import nelder_mead_fixed
 
 
 def k_se_time(sqd_stack, theta):
@@ -187,8 +187,9 @@ class NNGPTime(ModelBase):
                 out = jax.vmap(chain_fn)(per_chain, jits_pc, y_c, s_c, mask_c)
                 return out.reshape(pts.shape[0], C)
 
-            th, fv, _ = nelder_mead(
-                obj, x0, max_iters=self.nm_max_iters,
+            # fixed-iteration NM: scan-safe on TPU (see ops/optim.py)
+            th, fv = nelder_mead_fixed(
+                obj, x0, iters=self.nm_max_iters,
                 fatol=self.fatol, xatol=self.xatol,
             )
             fv_c = fv.reshape(chains, tpc)

@@ -27,7 +27,8 @@ from nngparareal_tpu.ops import ds32
 
 
 def _ds_scalar(x_f64):
-    """Split a traced f64 scalar into an f32 (hi, lo) pair."""
+    """Split a traced (or concrete python) f64 scalar into f32 (hi, lo)."""
+    x_f64 = jnp.asarray(x_f64, dtype=jnp.float64)
     hi = x_f64.astype(jnp.float32)
     lo = (x_f64 - hi.astype(jnp.float64)).astype(jnp.float32)
     return hi, lo

@@ -61,19 +61,48 @@ class SolverAbstr:
 
 
 class RKSolver(SolverAbstr):
-    def __init__(self, f, Ng, Nf, G="RK1", F="RK4", thresh=int(1e7), **kwargs):
+    def __init__(self, f, Ng, Nf, G="RK1", F="RK4", thresh=int(1e7),
+                 fine_ds=None, **kwargs):
+        """``fine_ds``: optional double-single (f32x2) vector field
+        ``f_ds(t, (uh, ul)) -> (kh, kl)`` (see ops/rk_ds.py). When given,
+        the FINE solver runs in compensated f32 arithmetic — every
+        hardware op native f32 instead of emulated f64 — with an end-of-
+        slice deviation from the f64 kernels measured at ~3e-11 on the
+        production Burgers config (tests/test_rk_ds.py). The coarse
+        solver and all driver logic stay f64."""
         self.f = f
         self.Ng = int(Ng)
         self.Nf = int(Nf)
         self.G = get_tableau(G)
         self.F = get_tableau(F)
         self.thresh = int(thresh)
+        self.fine_ds = fine_ds
 
-        self._fine_last = make_last_integrator(f, self.F, self.Nf, self.thresh)
         self._coarse_last = make_last_integrator(f, self.G, self.Ng, self.thresh)
-        self._fine_batch = make_batched_last_integrator(
-            f, self.F, self.Nf, self.thresh
-        )
+        if fine_ds is None:
+            self._fine_last = make_last_integrator(
+                f, self.F, self.Nf, self.thresh
+            )
+            self._fine_batch = make_batched_last_integrator(
+                f, self.F, self.Nf, self.thresh
+            )
+        else:
+            from nngparareal_tpu.ops.rk_ds import (
+                make_batched_last_integrator_ds,
+            )
+
+            self._fine_batch = make_batched_last_integrator_ds(
+                fine_ds, self.F, self.Nf, self.thresh
+            )
+
+            def _fine_last_ds(t0, t1, u0):
+                out = self._fine_batch(
+                    jnp.asarray(t0)[None], jnp.asarray(t1)[None],
+                    jnp.asarray(u0)[None, :],
+                )
+                return out[0]
+
+            self._fine_last = _fine_last_ds
         self._fine_traj = make_traj_integrator(f, self.F, self.Nf)
         self._coarse_traj = make_traj_integrator(f, self.G, self.Ng)
         self._chain_cache = {}
@@ -105,6 +134,15 @@ class RKSolver(SolverAbstr):
 
     def fine_step_raw(self, t0, dt_slice, u0):
         dt = dt_slice / self.Nf
+        if self.fine_ds is not None:
+            from nngparareal_tpu.ops import ds32
+            from nngparareal_tpu.ops.rk_ds import integrate_last_ds
+
+            uh, ul = ds32.ds_from_f64(u0)
+            oh, ol = integrate_last_ds(
+                self.fine_ds, self.F, t0, dt, self.Nf, uh, ul
+            )
+            return ds32.ds_to_f64(oh, ol)
         return integrate_last(self.f, self.F, t0, dt, self.Nf, u0)
 
     def run_G_chain(self, t, u0):

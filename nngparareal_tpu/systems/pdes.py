@@ -141,6 +141,17 @@ class Burgers(ODE):
         v_x = (vp - vm) * (0.5 * self._inv_2h)
         return v_xx - (v + 1.0) * v_x
 
+    def get_ds_vector_field(self):
+        """Double-single (f32x2) twin of the normalized field for the
+        compensated-arithmetic fine solver (ops/rk_ds.py)."""
+        if self.normalizer.norm_type != "-11":
+            raise NotImplementedError(
+                "ds field implemented for the [-1,1]-normalized form"
+            )
+        from nngparareal_tpu.ops.rk_ds import make_burgers_ds_field
+
+        return make_burgers_ds_field(self)
+
 
 class DiffReact(ODE):
     """2D diffusion-reaction two-species system with Neumann-like BC,

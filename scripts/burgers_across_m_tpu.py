@@ -1,0 +1,59 @@
+"""Burgers K-vs-m seed-spread study on the TPU (reference
+Burgers_perf_across_m.py:100-135).
+
+The reference measured K and speedup for m in {11..30} x 100 random
+seeds on the cluster (its robustness evidence: K median 17-19 at m=18,
+T=5.9). Here a reduced grid runs on one chip; one Parareal/solver pair
+per m so the fine fan-out jit is compiled once per m and reused across
+seeds (the sweep recompiles per run — that cost is reported in the
+pickle as warmup_t).
+
+Usage: python scripts/burgers_across_m_tpu.py [T] [seeds-per-m]
+Appends rows to results/burgers_across_m_T{T}.pkl as it goes.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nngparareal_tpu.systems import Burgers
+from nngparareal_tpu.solver import RKSolver
+from nngparareal_tpu.driver import Parareal
+from nngparareal_tpu.reporting import calc_speedup
+from nngparareal_tpu.utils.io import store_pickle
+
+
+def main():
+    T = float(sys.argv[1]) if len(sys.argv) > 1 else 5.9
+    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    ms = [12, 15, 18, 21, 25, 30]
+    N = 128
+    rows = []
+    ode = Burgers(d_x=N, normalization="-11")
+    f = ode.get_vector_field()
+    for m in ms:
+        solver = RKSolver(f, Ng=4, Nf=40000, G="RK1", F="RK8")
+        p = Parareal(ode, solver, [0.0, T], N, epsilon=5e-7, verbose=None)
+        for seed in range(n_seeds):
+            try:
+                out = p.run(model="nngp", nn=m, seed=seed, optimizer="grid")
+                rows.append({
+                    "m": m, "seed": seed, "k": out["k"],
+                    "converged": out["converged"],
+                    "runtime": out["timings"]["runtime"],
+                    "warmup_t": out["timings"].get("warmup_t", 0.0),
+                    "speedup": float(calc_speedup(out, N=N)),
+                })
+                print(f"m={m} seed={seed} K={out['k']} "
+                      f"rt={out['timings']['runtime']:.1f}s", flush=True)
+            except Exception as e:  # record failures as data rows
+                rows.append({"m": m, "seed": seed, "error": str(e)})
+                print(f"m={m} seed={seed} ERROR {e}", flush=True)
+            store_pickle(rows, f"burgers_across_m_T{T}.pkl", "results")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,10 @@ import jax  # noqa: E402
 # JAX_PLATFORMS) — override through the live config instead.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent XLA-CPU compile cache: the suite's wall time is dominated by
+# recompiling the same sweep/fan-out programs every run
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 try:  # drop non-CPU PJRT plugins registered by sitecustomize (slow init)
     from jax._src import xla_bridge as _xb

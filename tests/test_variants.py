@@ -33,3 +33,27 @@ def test_nngp_time_converges():
                 nm_max_iters=40, early_stop=3)
     assert out["k"] == 3
     assert np.all(np.isfinite(out["u"]))
+
+
+import os
+
+RUN_SLOW = os.environ.get("RUN_SLOW", "0") == "1"
+
+
+@pytest.mark.skipif(not RUN_SLOW, reason="full Lorenz convergence is minutes on CPU")
+def test_nngp_time_lorenz_full_convergence():
+    """The time-augmented variant on the system the reference analyzes it
+    on (nnGPara_with_time.py:671-729, Lorenz): must converge well before
+    bare Parareal's K=15 and in the neighbourhood of plain nnGP's K=9."""
+    from nngparareal_tpu import Lorenz
+
+    ode = Lorenz(normalization="-11")
+    cfg = Config(ode).get()
+    solver = RKSolver(ode.get_vector_field(), cfg["Ng"], cfg["Nf"],
+                      G=cfg["G"], F=cfg["F"])
+    p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=5e-7,
+                 verbose=None)
+    out = p.run(model="nngp_time", nn=14, reps=3, nn_iters=3)
+    assert out["converged"]
+    assert out["k"] < 15  # beats bare Parareal
+    assert out["k"] <= 13  # within the nnGP family's documented range
