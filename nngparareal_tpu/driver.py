@@ -638,7 +638,23 @@ class Parareal:
             aux = model.sweep_aux(k, N, ds.capacity)
             if aux is None:
                 aux = jnp.zeros((N, 1))
-            sweep = get_sweep(ds.capacity, model.static_signature(k))
+            sweep_key = (ds.capacity, model.static_signature(k))
+            fresh_sweep = sweep_key not in sweep_cache
+            sweep = get_sweep(*sweep_key)
+            if fresh_sweep and sweep_mode == "scan":
+                # first use of this (capacity, signature): compile+run once
+                # (attributed to compile time, like the fan-out buckets —
+                # capacity doublings mid-run otherwise book a full XLA
+                # compile as model time), then measure a clean run
+                tic = time.perf_counter()
+                _block(
+                    sweep(
+                        jnp.asarray(I), u_init, uG_init, uF, uG, u,
+                        ds_fit.X, ds_fit.D, ds_fit.valid,
+                        model.state_pytree(), aux,
+                    )
+                )
+                lazy_compile_t += time.perf_counter() - tic
             tic = time.perf_counter()
             u_next, uG_next, err_dev = _block(
                 sweep(
