@@ -146,6 +146,15 @@ class Parareal:
                         "reps", "nm_max_iters"):
                 kw.pop(bad, None)
             return NNGPScipy(n=self.n, N=self.N, **kw)
+        if key in ("gpjax_scipy", "gp_oracle"):
+            from nngparareal_tpu.models.gp_scipy import GPScipy
+
+            for bad in ("nn", "optimizer", "posterior", "grid_refine",
+                        "grid_walk", "grid_polish", "score_dtype",
+                        "strategy", "nn_iters", "reps", "n_restarts",
+                        "nm_max_iters"):
+                kw.pop(bad, None)
+            return GPScipy(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
             for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts"):
