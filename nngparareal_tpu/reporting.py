@@ -303,3 +303,81 @@ def plot_all_err(p, key):
         ax.legend()
         figs.append(fig)
     return figs
+
+
+def plot_parareal_mechanics(n_iters=3, N=10, path=None):
+    """Static equivalent of the reference's Figure-1 animation
+    (Figure_1.py:17-285): the parareal mechanics on the paper's toy 1D
+    ODE du/dt = -0.3 (t-5) u (a Gaussian-bump solution).
+
+    One panel per iteration k = 0..n_iters-1: the converged prefix, the
+    per-slice fine propagations F(u_i^k) from the current iterates, the
+    sequential coarse predictions, and the exact fine solution. Returns
+    the matplotlib figure; stores png+pdf via store_fig when ``path`` is
+    given.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    from nngparareal_tpu.systems.base import ODE
+    from nngparareal_tpu.solver import RKSolver
+    from nngparareal_tpu.driver import Parareal
+
+    class Ode1d(ODE):
+        def __init__(self, **kwargs):
+            mn, mx = np.array([[0.1], [14700.0]])
+            super().__init__("OneDim", mn, mx, np.array([0.1]), **kwargs)
+
+        @staticmethod
+        def _f(t, u):
+            return -(t - 5.0) * u * 0.3
+
+    ode = Ode1d()
+    tspan = (0.0, 10.0)
+    solver = RKSolver(ode.get_vector_field(), Ng=4, Nf=200, G="RK1", F="RK4")
+    p = Parareal(ode, solver, tspan, N, epsilon=5e-7, verbose=None)
+    out = p.run(model="parareal", keep_history=True, early_stop=None,
+                measure_serial_fine=False)
+    hist = out["u_hist"]  # (N+1, n, k+1)
+    t = out["t"]
+
+    t_dense = np.linspace(*tspan, 400)
+    u_exact = np.asarray(
+        solver.run_F_full(tspan[0], tspan[1], jnp.asarray([0.1]))
+    )
+    t_fine_grid = np.linspace(tspan[0], tspan[1], u_exact.shape[0])
+
+    k_show = min(n_iters, hist.shape[2])
+    fig, axes = plt.subplots(1, k_show, figsize=(4.2 * k_show, 3.4),
+                             sharey=True)
+    if k_show == 1:
+        axes = [axes]
+    for k, ax in enumerate(axes):
+        ax.plot(t_fine_grid, u_exact[:, 0], "k-", lw=1,
+                label="fine solution", alpha=0.6)
+        # per-slice fine propagations from iteration k's iterates
+        for i in range(N):
+            traj = np.asarray(
+                solver.run_F_full(t[i], t[i + 1], jnp.asarray(hist[i, :, k]))
+            )
+            ts = np.linspace(t[i], t[i + 1], traj.shape[0])
+            ax.plot(ts, traj[:, 0], "C0-", lw=1.6,
+                    label="F(u_i^k)" if i == 0 else None)
+        ax.plot(t, hist[:, 0, k], "C3o", ms=5, label="iterates u^k")
+        if k + 1 < hist.shape[2]:
+            ax.plot(t, hist[:, 0, k + 1], "C2s", ms=3.5,
+                    label="updated u^{k+1}")
+        ax.set_title(f"iteration k={k}")
+        ax.set_xlabel("t")
+        if k == 0:
+            ax.set_ylabel("u")
+            ax.legend(fontsize=8, loc="upper left")
+    fig.tight_layout()
+    if path is not None:
+        from nngparareal_tpu.utils.io import store_fig
+
+        store_fig(fig, path)
+    return fig

@@ -79,3 +79,15 @@ def test_store_artifact(run_pair, tmp_path):
     assert payload["N"] == run_pair.N
     assert set(payload["runs"]) == set(run_pair.runs)
     assert "x" not in payload["runs"]["NNGP"]
+
+
+def test_parareal_mechanics_figure(tmp_path):
+    """Figure-1 equivalent (reference Figure_1.py:17-285): builds the toy
+    1D-ODE panels without error."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from nngparareal_tpu.reporting import plot_parareal_mechanics
+
+    fig = plot_parareal_mechanics(n_iters=2, N=8)
+    assert len(fig.axes) == 2
