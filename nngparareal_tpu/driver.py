@@ -476,15 +476,85 @@ class Parareal:
             dsV = lax.dynamic_update_slice(dsV, valid_new, (offset,))
             return u_init, dsX, dsD, dsV
 
+        # --- AOT compile caches (exclude compiles from timings exactly) ---
+        # Compiles are measured via jit.lower(...).compile() — compile alone,
+        # no discarded warm execution — and the compiled executable is cached
+        # and invoked directly thereafter. With adaptive nn the sweep's
+        # static signature changes every iteration; the old
+        # compile-run-then-rerun pattern would have silently re-executed the
+        # full corrector sweep once per iteration and booked the first (real)
+        # execution as compile time.
+        lazy_compile_t = 0.0
+        fan_compiled = {}
+        sweep_compiled = {}
+
+        def _aot_caller(jitted, args):
+            """AOT-compile for these arg avals and return a caller.
+
+            Unlike the jit dispatch path, a ``Compiled`` executable rejects
+            committed arguments whose sharding differs from what it was
+            lowered with (e.g. replicated warmup dummies vs mesh-sharded
+            loop arrays), so the caller re-binds each leaf to the
+            executable's expected input sharding — a no-op on a single
+            device, the same reshard jit would have inserted on a mesh."""
+            c = jitted.lower(*args).compile()
+            # one sharding spec per top-level argument (None = any)
+            shardings = list(c.input_shardings[0])
+            if len(shardings) != len(args):
+                return c
+
+            def call(*a):
+                a = tuple(
+                    x if s is None or s == () else jax.device_put(x, s)
+                    for x, s in zip(a, shardings)
+                )
+                return c(*a)
+
+            return call
+
+        def ensure_fan_compiled(args, book=True):
+            """AOT-compile the fan-out for this batch size (once)."""
+            nonlocal lazy_compile_t
+            B = int(args[2].shape[0])
+            c = fan_compiled.get(B)
+            if c is None:
+                tic = time.perf_counter()
+                try:
+                    jf = fanout if hasattr(fanout, "lower") else jax.jit(fanout)
+                    c = _aot_caller(jf, args)
+                except Exception:
+                    # non-jittable backend (e.g. ScipySolver host loop)
+                    c = fanout
+                fan_compiled[B] = c
+                if book:
+                    lazy_compile_t += time.perf_counter() - tic
+            return c
+
+        def ensure_sweep_compiled(key, sweep, args, book=True):
+            """AOT-compile the corrector sweep for this (capacity,
+            signature) key (once). Host/python sweeps pass through."""
+            nonlocal lazy_compile_t
+            c = sweep_compiled.get(key)
+            if c is None:
+                if sweep_mode != "scan":
+                    sweep_compiled[key] = sweep
+                    return sweep
+                tic = time.perf_counter()
+                try:
+                    c = _aot_caller(sweep, args)
+                except Exception:
+                    c = sweep
+                sweep_compiled[key] = c
+                if book:
+                    lazy_compile_t += time.perf_counter() - tic
+            return c
+
         # --- warmup (exclude compiles from timings) ---
-        # only the full-size fan-out compiles here; smaller buckets compile
-        # lazily on first use (that call is re-run so its compile never
-        # pollutes F_time)
-        warmed_buckets = set()
         warmup_t0 = time.perf_counter()
         if warmup:
-            _block(fanout(t_dev[:-1], t_dev[1:], jnp.tile(u0_dev, (N, 1))))
-            warmed_buckets.add(N)
+            ensure_fan_compiled(
+                (t_dev[:-1], t_dev[1:], jnp.tile(u0_dev, (N, 1))), book=False
+            )
             _block(solver.run_G_chain(t_dev, u0_dev))
             if measure_serial_fine:
                 # serial-fine cost estimator: replicated micro-batch.
@@ -504,20 +574,24 @@ class Parareal:
             aux = model.sweep_aux(0, N, ds.capacity)
             if aux is None:
                 aux = jnp.zeros((N, 1))
-            sweep = get_sweep(ds.capacity, model.static_signature(0))
+            wkey = (ds.capacity, model.static_signature(0))
+            sweep = get_sweep(*wkey)
             dummy = jnp.tile(u0_dev, (N + 1, 1))
             # NOTE: I must be passed exactly like the main loop does
-            # (weak-typed) or jit re-traces on weak_type mismatch
-            _block(
-                sweep(
-                    jnp.asarray(0), dummy, dummy, dummy, dummy, dummy,
-                    ds.X, ds.D, ds.valid, model.state_pytree(), aux,
-                )
+            # (weak-typed) or the AOT executable rejects the call
+            wargs = (
+                jnp.asarray(0), dummy, dummy, dummy, dummy, dummy,
+                ds.X, ds.D, ds.valid, model.state_pytree(), aux,
             )
+            if sweep_mode == "scan":
+                ensure_sweep_compiled(wkey, sweep, wargs, book=False)
+            else:
+                # host/python sweeps compile their inner jitted step by
+                # executing once
+                _block(sweep(*wargs))
             model.set_ckpt_state(saved)
             model.reset_rng()
         warmup_t = time.perf_counter() - warmup_t0
-        lazy_compile_t = 0.0
         core_t0 = time.perf_counter()
 
         timings = {}
@@ -568,18 +642,10 @@ class Parareal:
             # parareal.py:310-315)
             Bk = next(b for b in fan_buckets if b >= N - I)
             start = N - Bk
-            if Bk not in warmed_buckets:
-                # first use of this bucket size: compile+run (attributed to
-                # compile time), then measure a clean second run
-                tic = time.perf_counter()
-                _block(fanout(t_dev[start:N], t_dev[start + 1 : N + 1],
-                              u[start:N]))
-                lazy_compile_t += time.perf_counter() - tic
-                warmed_buckets.add(Bk)
+            fan_args = (t_dev[start:N], t_dev[start + 1 : N + 1], u[start:N])
+            fan_exec = ensure_fan_compiled(fan_args)
             tic = time.perf_counter()
-            sub = _block(
-                fanout(t_dev[start:N], t_dev[start + 1 : N + 1], u[start:N])
-            )
+            sub = _block(fan_exec(*fan_args))
             F_time += time.perf_counter() - tic
             if start == 0:
                 uF = jnp.concatenate([u[:1], sub], axis=0)
@@ -648,29 +714,27 @@ class Parareal:
             if aux is None:
                 aux = jnp.zeros((N, 1))
             sweep_key = (ds.capacity, model.static_signature(k))
-            fresh_sweep = sweep_key not in sweep_cache
             sweep = get_sweep(*sweep_key)
-            if fresh_sweep and sweep_mode == "scan":
-                # first use of this (capacity, signature): compile+run once
-                # (attributed to compile time, like the fan-out buckets —
-                # capacity doublings mid-run otherwise book a full XLA
-                # compile as model time), then measure a clean run
-                tic = time.perf_counter()
-                _block(
-                    sweep(
-                        jnp.asarray(I), u_init, uG_init, uF, uG, u,
-                        ds_fit.X, ds_fit.D, ds_fit.valid,
-                        model.state_pytree(), aux,
-                    )
-                )
-                lazy_compile_t += time.perf_counter() - tic
-            tic = time.perf_counter()
-            u_next, uG_next, err_dev = _block(
-                sweep(
-                    jnp.asarray(I), u_init, uG_init, uF, uG, u,
-                    ds_fit.X, ds_fit.D, ds_fit.valid, model.state_pytree(), aux,
-                )
+            sweep_args = (
+                jnp.asarray(I), u_init, uG_init, uF, uG, u,
+                ds_fit.X, ds_fit.D, ds_fit.valid, model.state_pytree(), aux,
             )
+            sweep_exec = ensure_sweep_compiled(sweep_key, sweep, sweep_args)
+            tic = time.perf_counter()
+            try:
+                u_next, uG_next, err_dev = _block(sweep_exec(*sweep_args))
+            except Exception:
+                if sweep_exec is sweep:
+                    raise
+                # aval drift under an unchanged (capacity, signature) key —
+                # recompile via the jitted path and refresh the cache
+                tic_c = time.perf_counter()
+                sweep_compiled[sweep_key] = _aot_caller(sweep, sweep_args)
+                lazy_compile_t += time.perf_counter() - tic_c
+                tic = time.perf_counter()
+                u_next, uG_next, err_dev = _block(
+                    sweep_compiled[sweep_key](*sweep_args)
+                )
             dt_sweep = time.perf_counter() - tic
             sweep_time += dt_sweep
             # attribute sweep wall between the sequential coarse chain and
@@ -678,7 +742,7 @@ class Parareal:
             # by the active-slice fraction (lax.cond skips frozen slices)
             g_est = g_chain_t * (N - I) / N
             G_time += g_est
-            model.add_pred_time(k, max(0.0, dt_sweep - g_est))
+            model.add_pred_time(k, max(0.0, dt_sweep - g_est), n_active=N - I)
 
             # NaN guard rides the (already transferred) err vector: a NaN
             # in uG_next propagates into u_next and hence err

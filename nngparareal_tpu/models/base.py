@@ -93,6 +93,10 @@ class ModelBase:
         self.train_time = 0.0
         self.pred_time = 0.0
         self.pred_times = np.zeros(self.N)
+        # per-iteration count of active (predicted) intervals, recorded by
+        # the driver so aggregate sweep time can be attributed per interval
+        # even when the fused scan sweep hides per-interval walls
+        self.active_counts = np.zeros(self.N)
         self.time_k = 0
 
     # --- to override ---
@@ -133,9 +137,11 @@ class ModelBase:
         self.train_time += seconds
         self.pred_times[k] += seconds
 
-    def add_pred_time(self, k, seconds):
+    def add_pred_time(self, k, seconds, n_active=None):
         self.pred_time += seconds
         self.pred_times[k] += seconds
+        if n_active is not None and k < self.N:
+            self.active_counts[k] = n_active
 
     def get_times(self):
         return {
@@ -152,6 +158,7 @@ class ModelBase:
             "train_time": self.train_time,
             "pred_time": self.pred_time,
             "pred_times": self.pred_times,
+            "active_counts": self.active_counts,
             "time_k": self.time_k,
         }
 
@@ -159,4 +166,7 @@ class ModelBase:
         self.train_time = float(state["train_time"])
         self.pred_time = float(state["pred_time"])
         self.pred_times = np.asarray(state["pred_times"])
+        self.active_counts = np.asarray(
+            state.get("active_counts", np.zeros_like(self.pred_times))
+        )
         self.time_k = int(state["time_k"])

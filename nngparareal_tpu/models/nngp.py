@@ -26,13 +26,6 @@ from nngparareal_tpu.ops import gp_lanes as gplanes
 from nngparareal_tpu.ops.nn_select import nearest_neighbors
 from nngparareal_tpu.ops.optim import nelder_mead, nelder_mead_fixed
 
-# relative Cholesky pivot clamp for the posterior solve (64 eps_f64): at
-# the singular boundary the computed pivot is rounding noise of magnitude
-# ~m*eps*K_jj, so clamping there preserves the value to O(sqrt(m*eps))
-# while keeping deep interpolation basins evaluable
-_POSTERIOR_PIVOT_FLOOR = 64.0 * float(jnp.finfo(jnp.float64).eps)
-
-
 class NNGParareal(ModelBase):
     name = "NNGP"
 
@@ -156,15 +149,38 @@ class NNGParareal(ModelBase):
 
     def get_times(self):
         out = super().get_times()
-        out.update(
-            serial_train_time=self.tot_train_t,
-            avg_serial_train_time=(
-                self.tot_train_t / self.train_count if self.train_count else 0.0
-            ),
-            calc_detail_avg=(
-                self.detail_avg[: self.k + 1] if self.calc_detail_avg else None
-            ),
-        )
+        if self.train_count:
+            # host sweep (sweep_mode='host'): per-interval walls measured
+            # directly (reference models.py:119-143)
+            out.update(
+                serial_train_time=self.tot_train_t,
+                avg_serial_train_time=self.tot_train_t / self.train_count,
+                calc_detail_avg=(
+                    self.detail_avg[: self.k + 1]
+                    if self.calc_detail_avg else None
+                ),
+            )
+        else:
+            # fused scan sweep: per-interval wall time is not attributable
+            # inside one XLA program — estimate from the aggregate model
+            # share of each sweep divided by that iteration's active
+            # interval count (recorded by the driver), instead of silently
+            # reporting zeros
+            n_act = self.active_counts[: self.k + 1]
+            tot_act = float(n_act.sum())
+            out.update(
+                serial_train_time=self.pred_time,
+                avg_serial_train_time=(
+                    self.pred_time / tot_act if tot_act else 0.0
+                ),
+                calc_detail_avg=None,
+                timing_detail_note=(
+                    "fused scan sweep: serial_train_time/avg_serial_train_"
+                    "time are estimates (aggregate sweep model time / "
+                    "active-interval counts); per-(k,i) detail requires "
+                    "sweep_mode='host'"
+                ),
+            )
         return out
 
     def static_signature(self, k):

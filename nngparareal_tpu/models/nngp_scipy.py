@@ -89,8 +89,11 @@ class NNGPScipy(ModelBase):
         m = min(self.m_for(self.k), nvalid)
         d2_all = ((self._X - q[None, :]) ** 2).sum(axis=1)
         d2_all[~self._valid] = np.inf
-        # stable argsort = the reference's np.argsort of cdist row
-        # (models.py:177-179)
+        # argsort of the cdist row like the reference (models.py:177-179).
+        # NOTE: we use kind="stable" while numpy's default (the reference's
+        # choice) is an unstable introsort, so tie-breaking between exactly
+        # duplicate rows — common once slices converge — may order
+        # differently; parity is therefore exact up to neighbor tie order.
         idx = np.argsort(d2_all, kind="stable")[:m]
         xm = self._X[idx]
         ym = self._D[idx]
