@@ -81,33 +81,54 @@ def integrate_last_ds(f_ds, tableau, t0, dt, steps, u0h, u0l, unroll=1):
     return lax.fori_loop(0, steps, body, (u0h, u0l), unroll=unroll)
 
 
+# below this state dimension the batched ds fan-out transposes the state
+# to (dim, B) — same rationale as ops/rk.py:_TRANSPOSE_DIM_CUTOFF: a
+# (B, dim) array with dim ~ 3 uses 3 of the VPU's 128 lanes, while
+# (dim, B) puts the big slice batch in the lane axis
+_TRANSPOSE_DIM_CUTOFF = 64
+
+
 def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
                                     jit=True, unroll=1):
     """ds twin of make_batched_last_integrator: ``fan_out(t0s, t1s, U)``.
 
     U is (B, dim) f64; internally split into f32 pairs, integrated, and
     recombined — callers see the same f64 contract as the f64 fan-out.
-    The field must broadcast over a leading batch axis (stencil fields
-    with roll(axis=-1) do). Time enters per-slice as an f64 (B,) vector;
-    batched fields receive t of shape (B,).
+    Batching is ``jax.vmap`` of the single-slice ds stepper (any field
+    lifts — see ops/ds_lift.py); low-dimensional systems run in the
+    transposed (dim, B) layout so the slice batch fills the vector lanes,
+    exactly like the f64 fan-out (ops/rk.py:156-208).
     """
     tab = get_tableau(tableau)
     steps = int(steps)
     thresh = int(thresh)
 
     def chunk(t0s, dts, Uh, Ul, n_chunk):
-        # one batched program: dt is per-slice, so scalar coefficient
-        # pairs become (B, 1) arrays — ds ops broadcast
-        def body(n, carry):
-            uh, ul = carry
-            t = t0s + n * dts  # (B,)
-            return _rk_step_ds_batched(f_ds, tab, t, uh, ul, dts)
+        def one(t0, dt, uh, ul):
+            return integrate_last_ds(f_ds, tab, t0, dt, n_chunk, uh, ul,
+                                     unroll=unroll)
 
-        return lax.fori_loop(0, n_chunk, body, (Uh, Ul),
-                             unroll=max(1, min(int(unroll), n_chunk)))
+        return jax.vmap(one)(t0s, dts, Uh, Ul)
+
+    # transposed path: the field vectorized over a trailing batch axis,
+    # time as a (B,) vector — one program, no outer vmap, lanes = slices.
+    # Per-slice dt enters rk_step_ds as an (B,) h64 whose split (hi, lo)
+    # pairs broadcast against (dim, B) states on the trailing axis.
+    fT = jax.vmap(f_ds, in_axes=(0, (1, 1)), out_axes=(1, 1))
+
+    def chunk_T(t0s, dts, UhT, UlT, n_chunk):
+        return integrate_last_ds(fT, tab, t0s, dts, n_chunk, UhT, UlT,
+                                 unroll=unroll)
 
     if jit:
         chunk = jax.jit(chunk, static_argnums=(4,))
+        chunk_T = jax.jit(chunk_T, static_argnums=(4,))
+
+    def dispatch(t0s, dts, Uh, Ul, n_chunk):
+        if Uh.shape[1] < _TRANSPOSE_DIM_CUTOFF:
+            oh, ol = chunk_T(t0s, dts, Uh.T, Ul.T, n_chunk)
+            return oh.T, ol.T
+        return chunk(t0s, dts, Uh, Ul, n_chunk)
 
     def run(t0s, t1s, U):
         dts = (t1s - t0s) / steps
@@ -115,32 +136,11 @@ def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
         done = 0
         while done < steps:
             n = min(thresh, steps - done)
-            Uh, Ul = chunk(t0s + done * dts, dts, Uh, Ul, n)
+            Uh, Ul = dispatch(t0s + done * dts, dts, Uh, Ul, n)
             done += n
         return ds32.ds_to_f64(Uh, Ul)
 
     return run
-
-
-def _rk_step_ds_batched(f_ds, tab, t, uh, ul, h64):
-    """rk_step_ds with per-slice h64 of shape (B,); states (B, dim)."""
-    a, b, c = tab.a, tab.b, tab.c
-    ks = []
-    for i in range(tab.stages):
-        vh, vl = uh, ul
-        for j in range(i):
-            aij = a[i][j]
-            if aij != 0.0:
-                ch, cl = _ds_scalar(h64 * aij)
-                vh, vl = ds_axpy(vh, vl, ch[:, None], cl[:, None], *ks[j])
-        ks.append(f_ds(t + c[i] * h64, (vh, vl)))
-    outh, outl = uh, ul
-    for bi, ki in zip(b, ks):
-        if bi == 0.0:
-            continue
-        ch, cl = _ds_scalar(h64 * bi)
-        outh, outl = ds_axpy(outh, outl, ch[:, None], cl[:, None], *ki)
-    return outh, outl
 
 
 # --- ds vector fields for the hot systems -------------------------------

@@ -40,6 +40,18 @@ class ODE:
 
         return f_normalized
 
+    def get_ds_vector_field(self):
+        """Double-single (f32x2) twin of the vector field for the
+        compensated-arithmetic fine solver (``RKSolver(fine_ds=...)``).
+
+        Auto-lifted from the f64 field via the jaxpr interpreter
+        (ops/ds_lift.py) — subclasses with a hand-fused ds field (e.g.
+        Burgers) override this. Accuracy across the zoo: ~1e-13 absolute
+        vs the f64 field (tests/test_ds_lift.py)."""
+        from nngparareal_tpu.ops.ds_lift import ds_lift
+
+        return ds_lift(self.get_vector_field())
+
     def get_vector_field_numpy(self):
         """Host/numpy twin for scipy-based validation solvers."""
         f = self.get_vector_field()
