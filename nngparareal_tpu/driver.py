@@ -156,7 +156,7 @@ class Parareal:
                 kw.pop(bad, None)
             return GPScipy(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
-            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy",
+            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "strategy",
                         "nn_iters", "reps", "n_restarts"):
                 kw.pop(bad, None)
             return GParareal(n=self.n, N=self.N, **kw)

@@ -23,7 +23,7 @@ from jax import lax
 
 from nngparareal_tpu.models.base import ModelBase
 from nngparareal_tpu.ops import gp as gpops
-from nngparareal_tpu.ops.optim import nelder_mead
+from nngparareal_tpu.ops.optim import nelder_mead_fixed
 
 
 class GParareal(ModelBase):
@@ -38,11 +38,19 @@ class GParareal(ModelBase):
         xatol=None,
         nm_max_iters=400,
         seed=45,
+        score_dtype=None,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
         theta = np.array([1.0, 1.0]) if theta is None else np.asarray(theta, float)
         self.theta0 = theta
+        # optional down-cast for the NLL *scoring* only (candidate
+        # ranking inside Nelder-Mead): f32 Cholesky of the growing
+        # (rows x rows) Gram runs native on the MXU while f64 is
+        # software-emulated — the cubic cost that made the reference's
+        # GParareal DNF at scale (BASELINE section 3). The final alpha
+        # fit (the posterior actually used) stays f64 regardless.
+        self.score_dtype = score_dtype
         self.thetas = np.tile(theta, (self.n, 1))  # warm starts per coord
         self.jitter_sel = np.full(self.n, np.nan)
         self.fatol = 1e-4 if fatol is None else float(fatol)
@@ -64,34 +72,50 @@ class GParareal(ModelBase):
         nj = len(self._jitters)
         jitters = jnp.asarray(self._jitters)
 
+        score_dt = self.score_dtype
+
         def make_obj(X, D, valid):
             sqd_xx = gpops.pairwise_sq_dists(X, X)
+            if score_dt is not None:
+                sqd_sc = sqd_xx.astype(score_dt)
+                D_sc = D.astype(score_dt)
+                valid_sc = valid.astype(score_dt)
+            else:
+                sqd_sc, D_sc, valid_sc = sqd_xx, D, valid
 
             def obj(thetas):  # (B, C, 2) -> (B, C); B = n_tasks_coord * nj
                 shp = thetas.shape
+                if score_dt is not None:
+                    thetas = thetas.astype(score_dt)
                 per_coord = thetas.reshape(-1, nj, shp[1], 2)
+                jit_sc = jitters.astype(thetas.dtype)
 
                 def coord_fn(args):
                     th_c, y = args  # (nj, C, 2), (CAP,)
                     def one(th, jit_pow):  # th (C, 2)
                         return jax.vmap(
                             lambda t: gpops.nll_from_sqd(
-                                sqd_xx, y, t, jit_pow, valid, gpops.k_se_linear
+                                sqd_sc, y, t, jit_pow, valid_sc,
+                                gpops.k_se_linear
                             )
                         )(th)
-                    return jax.vmap(one)(th_c, jitters)  # (nj, C)
+                    return jax.vmap(one)(th_c, jit_sc)  # (nj, C)
 
                 # coord-major layout: per_coord rows are the n coordinates
-                out = lax.map(coord_fn, (per_coord, D.T))  # (n, nj, C)
-                return out.reshape(shp[0], shp[1])
+                out = lax.map(coord_fn, (per_coord, D_sc.T))  # (n, nj, C)
+                # rank in f64: +inf guards survive the cast
+                return out.reshape(shp[0], shp[1]).astype(jnp.float64)
 
             return obj
 
         def fit_warm(X, D, valid, x0):
-            # x0: (n*nj, 2) warm starts, coord-major
+            # x0: (n*nj, 2) warm starts, coord-major. Fixed-iteration NM:
+            # the while_loop variant segfaults the axon PJRT client on
+            # this toolchain (host-side libgcc crash during the gpjax
+            # fit, round 3) and converged simplexes freeze anyway
             obj = make_obj(X, D, valid)
-            th, fv, _ = nelder_mead(
-                obj, x0, max_iters=self.nm_max_iters,
+            th, fv = nelder_mead_fixed(
+                obj, x0, iters=self.nm_max_iters,
                 fatol=self.fatol, xatol=self.xatol,
             )
             fv = fv.reshape(n, nj)
@@ -143,7 +167,9 @@ class GParareal(ModelBase):
 
         x0 = np.repeat(self.thetas, nj, axis=0)  # (n*nj, 2) coord-major
         th, jv, fv = fit_warm(dsX, dsD, dsV, jnp.asarray(x0))
-        th, jv, fv = np.asarray(th), np.asarray(jv), np.asarray(fv)
+        # np.array (not asarray): jax exports read-only views and _rescue
+        # writes into these per-coordinate
+        th, jv, fv = np.array(th), np.array(jv), np.array(fv)
 
         bad = np.where(~np.isfinite(fv))[0]
         if bad.size:
@@ -191,8 +217,8 @@ class GParareal(ModelBase):
 
             for attempt in range(max_attempts):
                 starts = 10.0 ** self.rng.uniform(-4, 1, (tot_rnd * nj, 2))
-                th_r, fv_r, _ = nelder_mead(
-                    obj, jnp.asarray(starts), max_iters=self.nm_max_iters,
+                th_r, fv_r = nelder_mead_fixed(
+                    obj, jnp.asarray(starts), iters=self.nm_max_iters,
                     fatol=self.fatol, xatol=self.xatol,
                 )
                 fv_r = np.asarray(fv_r)
