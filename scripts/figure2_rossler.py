@@ -70,8 +70,12 @@ def panels(N, main_label, main_errs, shadow_errs, fname, title):
         ax.plot(x, np.log10(pe.mean(axis=1)), ls=(0, (5, 10)), c="black",
                 label=main_label)
         for nm, errs in shadow_errs.items():
-            se = errs[k]
-            ax.plot(x, np.log10(se.mean(axis=1)), alpha=0.6, label=nm)
+            # shadow predictions have no finite-guard (the main model's
+            # guard lives inside the sweep): a near-singular local Gram
+            # can emit NaN for an interval — plot the finite coords
+            se = np.where(np.isfinite(errs[k]), errs[k], np.nan)
+            ax.plot(x, np.log10(np.nanmean(se, axis=1)), alpha=0.6,
+                    label=nm)
         for y, c in ((-6, "gray"), (-8, "black"), (-10, "gray")):
             ax.axhline(y, ls="dashed", lw=1, color=c)
         ax.set_title(f"Rossler - k={k + 1}")
@@ -109,8 +113,10 @@ def main():
     ):
         for k in range(4, 7):
             m = np.log10(main_err[k].mean())
-            row = {nm: round(float(np.log10(errs[k].mean())), 2)
-                   for nm, errs in shadows.items()}
+            row = {}
+            for nm, errs in shadows.items():
+                se = np.where(np.isfinite(errs[k]), errs[k], np.nan)
+                row[nm] = round(float(np.log10(np.nanmean(se))), 2)
             print(f"{study} k={k + 1}: main {m:.2f} shadows {row}", flush=True)
 
 

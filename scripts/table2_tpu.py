@@ -90,6 +90,8 @@ def main():
             F=cfg["F"], fine_ds=fine_ds,
         )
         for mdl in models:
+            if mdl == "nngp-nm" and os.environ.get("TABLE2_SEED", "45") != "45":
+                mdl = f"nngp-nm-s{os.environ['TABLE2_SEED']}"
             key = (name, eps, fine, mdl, backend)
             if key in done:
                 print("skip (done):", key, flush=True)
@@ -102,8 +104,13 @@ def main():
                     out = p.run(model="parareal")
                 elif mdl == "nngp-grid":
                     out = p.run(model="nngp", nn=nn, optimizer="grid")
-                elif mdl == "nngp-nm":
-                    out = p.run(model="nngp", nn=nn, optimizer="nm")
+                elif mdl.startswith("nngp-nm"):
+                    seed = int(os.environ.get("TABLE2_SEED", "45"))
+                    out = p.run(model="nngp", nn=nn, optimizer="nm",
+                                seed=seed)
+                elif mdl == "nngp-grid-polish":
+                    out = p.run(model="nngp", nn=nn, optimizer="grid",
+                                grid_polish=True)
                 elif mdl == "gpjax":
                     out = p.run(model="gpjax", fatol=1e-6, xatol=1e-6)
                 elif mdl == "gpjax-f32":
