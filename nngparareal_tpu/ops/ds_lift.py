@@ -54,9 +54,11 @@ def _split_host(x):
 def _to_ds(x):
     if isinstance(x, _DS):
         return x
-    if isinstance(x, jax.core.Tracer) or isinstance(x, jax.Array):
+    if isinstance(x, jax.core.Tracer):
         hi, lo = ds32.ds_from_f64(x)
         return _DS(hi, lo)
+    # concrete (numpy or committed jax array): split exactly on the host —
+    # this also keeps f64 ops out of Pallas kernel traces
     return _split_host(x)
 
 
@@ -120,7 +122,15 @@ def _eval_jaxpr_ds(jaxpr, consts, *args):
 
         has_ds = any(isinstance(x, _DS) for x in invals)
         if not has_ds:
-            outs = prim.bind(*invals, **eqn.params)
+            # plain ops only ever see constants and t in practice; when all
+            # inputs are concrete, fold at compile time so no f64 op leaks
+            # into the consuming computation (Pallas kernels have no f64)
+            concrete = not any(isinstance(x, jax.core.Tracer) for x in invals)
+            if concrete:
+                with jax.ensure_compile_time_eval():
+                    outs = prim.bind(*invals, **eqn.params)
+            else:
+                outs = prim.bind(*invals, **eqn.params)
             outs = outs if prim.multiple_results else [outs]
             for v, o in zip(eqn.outvars, outs):
                 write(v, o)

@@ -1,0 +1,193 @@
+"""Whole-chunk RK fine fan-out as ONE Pallas TPU kernel (ds32 arithmetic).
+
+Why: the XLA fan-out (ops/rk.py, ops/rk_ds.py) issues each RK stage as
+fused-but-separate HLO ops inside a fori_loop; for small-state systems
+(Hopf d=3, TomLab d=3) the measured cost is ~12-40us *per step* —
+op-issue-bound, not compute-bound (the (3, 512) state is microscopic).
+This kernel keeps both f32 halves of the double-single state resident in
+VMEM and runs the ENTIRE multi-million-step integration inside one
+``pallas_call``: no per-step dispatch, no HBM traffic between steps.
+
+Design:
+  * arithmetic is double-single f32 (ops/ds32.py) — Mosaic has no f64,
+    and the ds floor (~1e-14 relative) holds the solver's 5e-7/5e-9
+    tolerances (validated across the zoo, tests/test_ds_lift.py);
+  * layout matches the XLA fan-out's lane rule: (dim, B) transposed for
+    dim < 64 so the slice batch fills the 128-wide lanes, (B, dim)
+    otherwise (ops/rk.py:150-156);
+  * the parareal fan-out always has a UNIFORM slice width, so the
+    per-stage step coefficients h*a_ij / h*b_i are (hi, lo) f32 pairs
+    computed from the f64 dt outside the kernel and read from SMEM;
+  * all paper systems are autonomous as implemented (Hopf carries time
+    as a state coordinate), so the stage times c_i are not materialised;
+    fields receive t=0.
+
+Reference equivalent: the inner loop of RK.py:146-174 (_RK_jax_last) —
+re-designed as a single resident-state TPU kernel rather than a host- or
+XLA-level loop.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nngparareal_tpu.ops.butcher import get_tableau
+from nngparareal_tpu.ops import ds32
+from nngparareal_tpu.ops.rk_ds import ds_axpy
+
+_TRANSPOSE_DIM_CUTOFF = 64
+
+
+def _coef_layout(tab):
+    """Flatten the nonzero h*a_ij / h*b_i multipliers into one vector.
+
+    Returns (vals, stage_terms, b_terms): ``vals`` are the tableau
+    multipliers (unscaled by h), ``stage_terms[i]`` is a list of
+    (j, coef_index) pairs for stage i, ``b_terms`` a list of
+    (stage, coef_index).
+    """
+    vals = []
+    stage_terms = []
+    for i in range(tab.stages):
+        terms = []
+        for j in range(i):
+            aij = tab.a[i][j] if j < len(tab.a[i]) else 0.0
+            if aij != 0.0:
+                terms.append((j, len(vals)))
+                vals.append(aij)
+        stage_terms.append(terms)
+    b_terms = []
+    for i, bi in enumerate(tab.b):
+        if bi != 0.0:
+            b_terms.append((i, len(vals)))
+            vals.append(bi)
+    return np.asarray(vals, np.float64), stage_terms, b_terms
+
+
+def _make_kernel(f_ds, tab, steps, shape, transposed):
+    vals, stage_terms, b_terms = _coef_layout(tab)
+
+    if transposed:
+        # field over (dim, B): batch in the trailing (lane) axis
+        f_batched = jax.vmap(f_ds, in_axes=(None, (1, 1)), out_axes=(1, 1))
+    else:
+        f_batched = jax.vmap(f_ds, in_axes=(None, (0, 0)), out_axes=(0, 0))
+
+    # Pallas kernels may not capture array constants (the lifted fields
+    # close over split normalization/stencil coefficient pairs): trace the
+    # batched field once, hoist its consts to explicit kernel inputs, and
+    # re-emit its jaxpr inside the kernel with the consts rebound.
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    closed = jax.make_jaxpr(lambda uh, ul: f_batched(0.0, (uh, ul)))(spec, spec)
+    consts = [np.asarray(c) for c in closed.consts]
+    for c in consts:
+        if c.dtype == np.float64:
+            raise NotImplementedError(
+                "lifted field leaks an f64 constant into the kernel — add a "
+                "compile-time-eval rule in ops/ds_lift.py for its producer"
+            )
+    const_shapes = [c.shape for c in consts]
+    # VMEM wants >=2D blocks; flat-pad each const to (1, n)
+    consts2d = [c.reshape(1, max(1, c.size)) for c in consts]
+
+    def kernel(ch_ref, cl_ref, *refs):
+        const_refs = refs[: len(consts)]
+        uh_ref, ul_ref, oh_ref, ol_ref = refs[len(consts):]
+        cvals = [
+            r[:].reshape(s) if s != () else r[0, 0]
+            for r, s in zip(const_refs, const_shapes)
+        ]
+
+        def field(uh, ul):
+            kh, kl = jax.core.eval_jaxpr(closed.jaxpr, cvals, uh, ul)
+            return kh, kl
+
+        def one_step(_, carry):
+            uh, ul = carry
+            ks = []
+            for i in range(tab.stages):
+                vh, vl = uh, ul
+                for j, cidx in stage_terms[i]:
+                    vh, vl = ds_axpy(
+                        vh, vl, ch_ref[cidx, 0], cl_ref[cidx, 0], *ks[j]
+                    )
+                ks.append(field(vh, vl))
+            oh, ol = uh, ul
+            for i, cidx in b_terms:
+                oh, ol = ds_axpy(
+                    oh, ol, ch_ref[cidx, 0], cl_ref[cidx, 0], *ks[i]
+                )
+            return oh, ol
+
+        uh, ul = lax.fori_loop(
+            0, steps, one_step, (uh_ref[:], ul_ref[:])
+        )
+        oh_ref[:] = uh
+        ol_ref[:] = ul
+
+    return kernel, jnp.asarray(vals), consts2d
+
+
+def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
+    """Build ``fan_out(t0s, t1s, U) -> (B, dim)`` running in one kernel.
+
+    Same f64-in/f64-out contract as the XLA fan-outs. The slice widths
+    t1s - t0s must be uniform (they are, for the parareal grid); the
+    fields must be autonomous (every shipped system is).
+    """
+    tab = get_tableau(tableau)
+    steps = int(steps)
+
+    @functools.cache
+    def build(dim, B):
+        transposed = dim < _TRANSPOSE_DIM_CUTOFF
+        shape = (dim, B) if transposed else (B, dim)
+        kernel, vals, consts2d = _make_kernel(f_ds, tab, steps, shape,
+                                              transposed)
+        n_coef = int(vals.shape[0])
+
+        call = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec((n_coef, 1), memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_coef, 1), memory_space=pltpu.SMEM),
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts2d]
+            + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )
+        return call, vals, consts2d, transposed
+
+    @jax.jit
+    def run(t0s, t1s, U):
+        B, dim = U.shape
+        call, vals, consts2d, transposed = build(int(dim), int(B))
+        dt = (t1s[0] - t0s[0]) / steps  # uniform slice width (f64)
+        coefs = vals * dt  # (n_coef,) f64
+        ch = coefs.astype(jnp.float32)
+        cl = (coefs - ch.astype(jnp.float64)).astype(jnp.float32)
+        Uh, Ul = ds32.ds_from_f64(U)
+        if transposed:
+            Uh, Ul = Uh.T, Ul.T
+        oh, ol = call(ch[:, None], cl[:, None], *consts2d, Uh, Ul)
+        if transposed:
+            oh, ol = oh.T, ol.T
+        return ds32.ds_to_f64(oh, ol)
+
+    return run

@@ -62,14 +62,20 @@ class SolverAbstr:
 
 class RKSolver(SolverAbstr):
     def __init__(self, f, Ng, Nf, G="RK1", F="RK4", thresh=int(1e7),
-                 fine_ds=None, **kwargs):
+                 fine_ds=None, fine_pallas=False, **kwargs):
         """``fine_ds``: optional double-single (f32x2) vector field
-        ``f_ds(t, (uh, ul)) -> (kh, kl)`` (see ops/rk_ds.py). When given,
-        the FINE solver runs in compensated f32 arithmetic — every
-        hardware op native f32 instead of emulated f64 — with an end-of-
-        slice deviation from the f64 kernels measured at ~3e-11 on the
+        ``f_ds(t, (uh, ul)) -> (kh, kl)`` (see ops/rk_ds.py; every system
+        provides one via ``ode.get_ds_vector_field()``). When given, the
+        FINE solver runs in compensated f32 arithmetic — every hardware op
+        native f32 instead of emulated f64 — with an end-of-slice
+        deviation from the f64 kernels measured at ~3e-11 on the
         production Burgers config (tests/test_rk_ds.py). The coarse
-        solver and all driver logic stay f64."""
+        solver and all driver logic stay f64.
+
+        ``fine_pallas``: run the fine fan-out as ONE whole-chunk Pallas
+        TPU kernel (ops/rk_pallas.py) — state resident in VMEM for the
+        entire integration, no per-step op-issue cost. Requires
+        ``fine_ds`` and uniform slice widths (the parareal grid)."""
         self.f = f
         self.Ng = int(Ng)
         self.Nf = int(Nf)
@@ -77,6 +83,9 @@ class RKSolver(SolverAbstr):
         self.F = get_tableau(F)
         self.thresh = int(thresh)
         self.fine_ds = fine_ds
+        self.fine_pallas = bool(fine_pallas)
+        if self.fine_pallas and fine_ds is None:
+            raise ValueError("fine_pallas=True requires fine_ds")
 
         self._coarse_last = make_last_integrator(f, self.G, self.Ng, self.thresh)
         if fine_ds is None:
@@ -91,9 +100,18 @@ class RKSolver(SolverAbstr):
                 make_batched_last_integrator_ds,
             )
 
-            self._fine_batch = make_batched_last_integrator_ds(
-                fine_ds, self.F, self.Nf, self.thresh
-            )
+            if self.fine_pallas:
+                from nngparareal_tpu.ops.rk_pallas import (
+                    make_pallas_fanout_ds,
+                )
+
+                self._fine_batch = make_pallas_fanout_ds(
+                    fine_ds, self.F, self.Nf
+                )
+            else:
+                self._fine_batch = make_batched_last_integrator_ds(
+                    fine_ds, self.F, self.Nf, self.thresh
+                )
 
             def _fine_last_ds(t0, t1, u0):
                 out = self._fine_batch(

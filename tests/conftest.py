@@ -28,6 +28,15 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# import pallas (and its checkify lowering registration) while the tpu
+# platform alias from the sitecustomize plugin is still registered —
+# importing it after the factory drop below raises "unknown platform tpu"
+try:
+    import jax.experimental.pallas  # noqa: F401
+    import jax.experimental.pallas.tpu  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+
 try:  # drop non-CPU PJRT plugins registered by sitecustomize (slow init)
     from jax._src import xla_bridge as _xb
 
