@@ -24,13 +24,19 @@ from nngparareal_tpu.reporting import est_serial, calc_speedup
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     early = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    fine = sys.argv[3] if len(sys.argv) > 3 else "f64"  # f64 | ds | pallas
     ode = Hopf(normalization="-11")
     cfg = Config(ode, N=N).get()
     # scaling driver multiplies Nf x10000 and pages fine solves in
     # Nf/N/25 chunks (reference Hopf.py:65-69)
     Nf = cfg["Nf"] * 10000
+    fine_kw = {}
+    if fine in ("ds", "pallas"):
+        fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
+                       fine_pallas=(fine == "pallas"))
     solver = RKSolver(ode.get_vector_field(), cfg["Ng"], Nf,
-                      G=cfg["G"], F=cfg["F"], thresh=max(Nf // 25, 1))
+                      G=cfg["G"], F=cfg["F"], thresh=max(Nf // 25, 1),
+                      **fine_kw)
     p = Parareal(ode, solver, cfg["tspan"], N, epsilon=5e-7, verbose=None)
     t0 = time.time()
     out = p.run(model="nngp", nn=15, n_restarts=2, optimizer="grid",
