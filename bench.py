@@ -44,7 +44,16 @@ def main():
 
     ode = Burgers(d_x=128, normalization="-11")
     f = ode.get_vector_field()
-    solver = RKSolver(f, Ng=Ng_per, Nf=Nf_per, G="RK1", F="RK8")
+    # BENCH_FINE=f64|ds|pallas selects the fine-solver arithmetic (ds32
+    # K-parity across the zoo: PARITY.md round 3)
+    import os
+
+    fine = os.environ.get("BENCH_FINE", "f64")
+    fine_kw = {}
+    if fine in ("ds", "pallas"):
+        fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
+                       fine_pallas=(fine == "pallas"))
+    solver = RKSolver(f, Ng=Ng_per, Nf=Nf_per, G="RK1", F="RK8", **fine_kw)
     p = Parareal(ode, solver, [0.0, T], N, epsilon=5e-7, verbose=None)
 
     # grid hyperopt: the TPU-native deterministic theta search (same
@@ -58,6 +67,7 @@ def main():
     wallclock_ratio = BASELINE_RUNTIME_S / runtime
 
     info = {
+        "fine": fine,
         "K": out["k"],
         "converged": bool(out["converged"]),
         "runtime_s": round(runtime, 3),
