@@ -70,7 +70,7 @@ def _run_models(p, model_kwargs, models, results_dir, tag, nngp_kw=None,
 
 
 def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
-             store_int=False, fine_mult=10000, nngp_kw=None):
+             store_int=False, fine_mult=10000, nngp_kw=None, gp_kw=None):
     """Hopf scalability (reference Hopf.py:60-92): Nf scaled x10000 and
     fine solves paged in Nf/N/25 chunks (Hopf.py:65-69)."""
     ode = Hopf(normalization="-11")
@@ -82,7 +82,8 @@ def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
     )
     p = Parareal(ode, solver, cfg["tspan"], N, epsilon=5e-7)
     model_kwargs = {
-        "gpjax": dict(theta=[1, 1], fatol=1e-6, xatol=1e-6),
+        "gpjax": dict(theta=[1, 1], fatol=1e-6, xatol=1e-6,
+                      **(gp_kw or {})),
         "nngp": dict(fatol=1e-1, xatol=1e-1, nn=15, n_restarts=2, seed=45),
     }
     return _run_models(
@@ -226,6 +227,12 @@ def main(argv=None):
     ap.add_argument("--nngp-grid", action="store_true",
                     help="nnGP grid hyperopt (TPU-native path; default is "
                          "the reference-parity Nelder-Mead)")
+    ap.add_argument("--gp-f32", action="store_true",
+                    help="full-GP NLL scoring in f32 (native MXU Cholesky "
+                         "of the growing Gram; posterior fit stays f64)")
+    ap.add_argument("--gp-nm-iters", type=int, default=None,
+                    help="full-GP fixed Nelder-Mead iteration count "
+                         "(default 400)")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -235,9 +242,20 @@ def main(argv=None):
         mesh = make_mesh(args.mesh_devices)
 
     nngp_kw = dict(optimizer="grid") if args.nngp_grid else None
+    gp_kw = None
+    if args.gp_f32:
+        import jax.numpy as jnp
+
+        # f32 NLL *scoring* (candidate ranking only; the posterior alpha
+        # fit stays f64): the growing full-GP Gram Cholesky runs native
+        # on the MXU instead of software-emulated f64 — the TPU answer
+        # to the cubic model-cost blow-up of BASELINE section 2
+        gp_kw = dict(score_dtype=jnp.float32)
+    if args.gp_nm_iters:
+        gp_kw = dict(gp_kw or {}, nm_max_iters=args.gp_nm_iters)
     if args.experiment == "hopf":
         rows = run_hopf(args.N or 32, tuple(args.models), args.results_dir,
-                        mesh, nngp_kw=nngp_kw)
+                        mesh, nngp_kw=nngp_kw, gp_kw=gp_kw)
     elif args.experiment == "tomlab":
         rows = run_tomlab(args.N or 32, tuple(args.models), args.results_dir,
                           mesh, nngp_kw=nngp_kw)
