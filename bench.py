@@ -48,7 +48,10 @@ def main():
     # K-parity across the zoo: PARITY.md round 3)
     import os
 
-    fine = os.environ.get("BENCH_FINE", "f64")
+    # Default is the Pallas whole-chunk ds32 RK kernel (10.6 us/step vs
+    # ~25 ds / ~41 f64 on Burgers-128; bitwise-identical to the ds32 XLA
+    # path, K-parity with f64 across the zoo — PARITY.md round 3).
+    fine = os.environ.get("BENCH_FINE", "pallas")
     fine_kw = {}
     if fine in ("ds", "pallas"):
         fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
@@ -66,6 +69,28 @@ def main():
     own_speedup = calc_speedup(out, N=N)
     wallclock_ratio = BASELINE_RUNTIME_S / runtime
 
+    # Apples-to-apples serial baseline: when the fine path runs reduced-
+    # precision arithmetic (ds32 / Pallas), ALSO measure the f64 serial
+    # fine estimate with the same batch-8 micro-batch estimator the
+    # driver uses (driver.py measure_serial_fine), so the detail line can
+    # report the framework's speedup over the f64 serial solve the
+    # reference's own-serial number (8.08) is defined against.
+    f64_serial_est = None
+    if fine != "f64":
+        import time as _time
+
+        import jax.numpy as jnp
+
+        s64 = RKSolver(f, Ng=Ng_per, Nf=Nf_per, G="RK1", F="RK8")
+        bm = 8
+        t0s = jnp.full(bm, 0.0)
+        t1s = jnp.full(bm, T / N)
+        U = jnp.tile(jnp.asarray(ode.get_init_cond()), (bm, 1))
+        jax.block_until_ready(s64.run_F_batch(t0s, t1s, U))  # compile
+        t0 = _time.perf_counter()
+        jax.block_until_ready(s64.run_F_batch(t0s, t1s, U))
+        f64_serial_est = (_time.perf_counter() - t0) * N
+
     info = {
         "fine": fine,
         "K": out["k"],
@@ -77,6 +102,10 @@ def main():
         "own_serial_speedup_vs_baseline_8.08": round(
             float(own_speedup) / BASELINE_SPEEDUP, 4
         ),
+        "est_f64_serial_s": (round(f64_serial_est, 3)
+                             if f64_serial_est is not None else None),
+        "speedup_vs_f64_serial": (round(f64_serial_est / runtime, 3)
+                                  if f64_serial_est is not None else None),
         "F_time_s": round(out["timings"]["F_time"], 3),
         "G_time_s": round(out["timings"]["G_time"], 3),
         "mdl_tot_s": round(out["timings"]["mdl_tot_t"], 3),
