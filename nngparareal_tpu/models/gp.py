@@ -201,19 +201,29 @@ class GParareal(ModelBase):
         tot_rnd = max(3, int(self.N / 9))
         jitters = jnp.asarray(self._jitters)
         sqd_xx = gpops.pairwise_sq_dists(dsX, dsX)
+        # score in the same dtype as the main fit (ranking only; the
+        # winning theta is re-fit in f64 by alphas())
+        if self.score_dtype is not None:
+            sqd_xx = sqd_xx.astype(self.score_dtype)
+            dsD = dsD.astype(self.score_dtype)
+            dsV = dsV.astype(self.score_dtype)
 
         for j in bad:
             y = dsD[:, int(j)]
             jit_tasks = jnp.tile(jitters, tot_rnd)
 
             def obj(thetas, _y=y, _jt=jit_tasks):  # (B, C, 2) -> (B, C)
+                if self.score_dtype is not None:
+                    thetas = thetas.astype(self.score_dtype)
+                    _jt = _jt.astype(self.score_dtype)
+
                 def per_task(th_c, jit_pow):
                     return jax.vmap(
                         lambda t: gpops.nll_from_sqd(
                             sqd_xx, _y, t, jit_pow, dsV, gpops.k_se_linear
                         )
                     )(th_c)
-                return jax.vmap(per_task)(thetas, _jt)
+                return jax.vmap(per_task)(thetas, _jt).astype(jnp.float64)
 
             for attempt in range(max_attempts):
                 starts = 10.0 ** self.rng.uniform(-4, 1, (tot_rnd * nj, 2))

@@ -17,10 +17,15 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, reps=3):
-    out = jax.block_until_ready(fn(*args))  # compile
+    # sync via host fetch: through the axon relay block_until_ready can
+    # return ~0s for some executables (round-2 anomaly); fetching one leaf
+    # to host is the sync the relay cannot elide.
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
     return (time.perf_counter() - t0) / reps, out
 
 

@@ -29,13 +29,18 @@ from nngparareal_tpu.ops.rk_pallas import make_pallas_fanout_ds
 
 
 def bench(run, t0s, t1s, U, reps=3):
-    out = jax.block_until_ready(run(t0s, t1s, U))  # compile + warm
+    # sync via host fetch, not block_until_ready: through the axon relay
+    # block_until_ready has been observed returning ~0s for some
+    # executables (round-2 "0.000s" anomaly) — a device->host transfer of
+    # the result is the one sync the relay cannot elide, and at these
+    # shapes (<=512x128 f64) it costs microseconds.
+    out = np.asarray(run(t0s, t1s, U))  # compile + warm
     times = []
     for _ in range(reps):
         tic = time.perf_counter()
-        out = jax.block_until_ready(run(t0s, t1s, U))
+        out = np.asarray(run(t0s, t1s, U))
         times.append(time.perf_counter() - tic)
-    return np.asarray(out), min(times)
+    return out, min(times)
 
 
 def main():
