@@ -156,7 +156,7 @@ class Parareal:
                 kw.pop(bad, None)
             return GPScipy(n=self.n, N=self.N, **kw)
         if key in ("gpjax", "gp", "gparareal"):
-            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "strategy",
+            for bad in ("nn", "posterior", "grid_refine", "grid_walk", "grid_polish", "strategy",
                         "nn_iters", "reps", "n_restarts"):
                 kw.pop(bad, None)
             return GParareal(n=self.n, N=self.N, **kw)
@@ -491,12 +491,19 @@ class Parareal:
         def _aot_caller(jitted, args):
             """AOT-compile for these arg avals and return a caller.
 
+            Env NNGP_TPU_NO_AOT=1 bypasses AOT (plain jit dispatch):
+            diagnostic/workaround knob for toolchains where AOT-compiled
+            executables misbehave; costs only the compile-time attribution
+            accuracy (warm execution is booked as compile).
+
             Unlike the jit dispatch path, a ``Compiled`` executable rejects
             committed arguments whose sharding differs from what it was
             lowered with (e.g. replicated warmup dummies vs mesh-sharded
             loop arrays), so the caller re-binds each leaf to the
             executable's expected input sharding — a no-op on a single
             device, the same reshard jit would have inserted on a mesh."""
+            if os.environ.get("NNGP_TPU_NO_AOT") == "1":
+                return jitted
             c = jitted.lower(*args).compile()
             # one sharding spec per top-level argument (None = any)
             shardings = list(c.input_shardings[0])
@@ -678,6 +685,12 @@ class Parareal:
             I += 1
             if collect_data:
                 ds = Dataset(dsX, dsD, dsV)
+            if os.environ.get("NNGP_TPU_PARANOID_SYNC") == "1":
+                # crash-site pinpointing: surface any async kernel fault
+                # from the fan-out/prep executables HERE rather than at the
+                # next model-fit sync
+                _block((u_init, dsX, dsD, dsV))
+                print(f"[sync] k={k} prep_step ok", flush=True)
 
             # --- early stop: only one interval was missing ---
             if I == N:

@@ -39,6 +39,7 @@ class GParareal(ModelBase):
         nm_max_iters=400,
         seed=45,
         score_dtype=None,
+        optimizer="nm",
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -62,6 +63,21 @@ class GParareal(ModelBase):
         self.state = None
         self._jitters = np.arange(-20.0, -11.0)  # models.py:387
         self._fit_cache = {}
+        # optimizer='grid': dense log10 theta-grid + one same-shape refine
+        # pass — fully deterministic, seed-free, and NM-free. On the axon
+        # TPU toolchain the second distinct batched-NM executable in a
+        # process kernel-faults (round-3 bisect, scripts/dev/
+        # gp_crash_probe.py fitseq); the grid program is the plain batched
+        # Cholesky-NLL family that runs reliably at every capacity, and a
+        # dense search is the TPU-native theta selection anyway (SURVEY
+        # section 7 design stance).
+        assert optimizer in ("nm", "grid"), optimizer
+        self.optimizer = optimizer
+        # 13x13 log-grid spanning the reference's restart support
+        # 10^U(-4,1) (models.py:382) with half-decade steps incl. 10^0
+        # = the reference's warm-start theta [1,1]
+        self._grid_logs = np.linspace(-4.5, 1.5, 13)
+        self._refine_half_span = 0.45
 
     # --- jitted helpers, cached per dataset capacity ---
 
@@ -137,10 +153,44 @@ class GParareal(ModelBase):
 
             return lax.map(coord_fn, (th, jv, D.T))  # (n, CAP)
 
+        def fit_grid(X, D, valid, grids):
+            """Dense theta search: grids (T=n*nj, G, 2) linear-scale
+            candidates, coord-major tasks. Memory is bounded by
+            sequentialising tasks with lax.map and vmapping only the G
+            candidates (peak G x cap^2 per step); the program is plain
+            batched Cholesky NLLs — no Nelder-Mead loop."""
+            sqd = gpops.pairwise_sq_dists(X, X)
+            jp = jnp.tile(jnp.asarray(self._jitters), n)  # (T,)
+            if score_dt is not None:
+                sqd_s = sqd.astype(score_dt)
+                D_s = D.astype(score_dt)
+                v_s = valid.astype(score_dt)
+                g_s = grids.astype(score_dt)
+                jp_s = jp.astype(score_dt)
+            else:
+                sqd_s, D_s, v_s, g_s, jp_s = sqd, D, valid, grids, jp
+            Y = jnp.repeat(D_s.T, nj, axis=0)  # (T, CAP) coord-major
+
+            def task_fn(args):
+                g, y, j = args
+                return jax.vmap(
+                    lambda t: gpops.nll_from_sqd(
+                        sqd_s, y, t, j, v_s, gpops.k_se_linear
+                    )
+                )(g)
+
+            f = lax.map(task_fn, (g_s, Y, jp_s))  # (T, G)
+            f = jnp.where(jnp.isnan(f), jnp.inf, f).astype(jnp.float64)
+            i = jnp.argmin(f, axis=1)
+            th = jnp.take_along_axis(grids, i[:, None, None], 1)[:, 0, :]
+            fb = jnp.take_along_axis(f, i[:, None], 1)[:, 0]
+            return th, fb
+
         fns = (
             jax.jit(fit_warm),
             jax.jit(alphas),
             make_obj,
+            jax.jit(fit_grid),
         )
         self._fit_cache[cap] = fns
         return fns
@@ -163,20 +213,24 @@ class GParareal(ModelBase):
         rows = min((k + 1) * self.N, ds.capacity)
         B = self._bucket(rows, ds.capacity)
         dsX, dsD, dsV = ds.X[:B], ds.D[:B], ds.valid[:B]
-        fit_warm, alphas, make_obj = self._get_fns(B)
+        fit_warm, alphas, make_obj, fit_grid = self._get_fns(B)
 
-        x0 = np.repeat(self.thetas, nj, axis=0)  # (n*nj, 2) coord-major
-        th, jv, fv = fit_warm(dsX, dsD, dsV, jnp.asarray(x0))
-        # np.array (not asarray): jax exports read-only views and _rescue
-        # writes into these per-coordinate
-        th, jv, fv = np.array(th), np.array(jv), np.array(fv)
+        if self.optimizer == "grid":
+            th, jv, fv = self._fit_grid_search(fit_grid, dsX, dsD, dsV)
+        else:
+            x0 = np.repeat(self.thetas, nj, axis=0)  # (n*nj, 2) coord-major
+            th, jv, fv = fit_warm(dsX, dsD, dsV, jnp.asarray(x0))
+            # np.array (not asarray): jax exports read-only views and
+            # _rescue writes into these per-coordinate
+            th, jv, fv = np.array(th), np.array(jv), np.array(fv)
 
-        bad = np.where(~np.isfinite(fv))[0]
-        if bad.size:
-            th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
+            bad = np.where(~np.isfinite(fv))[0]
+            if bad.size:
+                th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
 
         self.thetas = th
         self.jitter_sel = jv
+        self.fvals = fv  # per-coordinate winning NLLs (diagnostics/tests)
         self.hyp[..., min(k + 1, self.N - 1)] = th
         alpha = alphas(dsX, dsD, dsV, jnp.asarray(th), jnp.asarray(jv))
         # zero-pad alpha back to capacity: padded k_star rows hit zeros
@@ -188,6 +242,62 @@ class GParareal(ModelBase):
             alpha_full,
         )
         return None
+
+    def _fit_grid_search(self, fit_grid, dsX, dsD, dsV):
+        """Deterministic dense theta search: one coarse 13x13 log-grid over
+        the reference's restart support, then a same-shape refine grid
+        centred on each task's winner (identical avals -> both passes run
+        the SAME compiled executable). A coordinate whose every candidate
+        is non-finite gets progressively widened refine passes instead of
+        the NM random-restart rescue (models.py:358-384)."""
+        n, nj = self.n, len(self._jitters)
+        T = n * nj
+        logs = self._grid_logs
+        base = np.stack(
+            np.meshgrid(logs, logs, indexing="ij"), -1
+        ).reshape(-1, 2)  # (G, 2) log10
+        G = base.shape[0]
+
+        g1 = np.broadcast_to(10.0 ** base, (T, G, 2))
+        th1, f1 = fit_grid(dsX, dsD, dsV, jnp.asarray(g1))
+        th1, f1 = np.array(th1), np.array(f1)
+
+        hs = self._refine_half_span
+        r = np.linspace(-hs, hs, len(logs))
+        offs = np.stack(np.meshgrid(r, r, indexing="ij"), -1).reshape(-1, 2)
+        # non-finite winners refine around the warm-start instead
+        centre = np.where(
+            np.isfinite(f1)[:, None], np.log10(np.maximum(th1, 1e-300)),
+            0.0,
+        )
+        th, fv = th1, f1
+        for widen in (1.0, 4.0, 16.0):
+            g2 = 10.0 ** (centre[:, None, :] + widen * offs[None])
+            th2, f2 = fit_grid(dsX, dsD, dsV, jnp.asarray(g2))
+            th2, f2 = np.array(th2), np.array(f2)
+            better = f2 < fv
+            th = np.where(better[:, None], th2, th)
+            fv = np.minimum(fv, f2)
+            if np.all(np.isfinite(fv)):
+                break
+        if not np.all(np.isfinite(fv)):
+            # keep reference semantics: a fully failed coordinate is fatal
+            # only if no jitter worked either; the per-coordinate argmin
+            # below discards inf jitter rows when any jitter succeeded
+            fv2 = fv.reshape(n, nj)
+            if np.any(~np.isfinite(fv2).any(axis=1)):
+                raise RuntimeError(
+                    "GP grid hyperopt: no finite NLL for some coordinate "
+                    "after widened refine passes"
+                )
+
+        fv = fv.reshape(n, nj)
+        th = th.reshape(n, nj, 2)
+        best = np.argmin(fv, axis=1)
+        th_best = np.take_along_axis(th, best[:, None, None], 1)[:, 0, :]
+        jv_best = self._jitters[best]
+        fv_best = np.take_along_axis(fv, best[:, None], 1)[:, 0]
+        return th_best, np.asarray(jv_best, float), fv_best
 
     def _rescue(self, dsX, dsD, dsV, th, jv, fv, bad, max_attempts=20):
         """Random-restart rescue for +inf coords (models.py:358-384).

@@ -45,8 +45,9 @@ D = np.zeros((CAP, n)); D[:rows] = 1e-3 * rng.normal(size=(rows, n))
 valid = np.zeros(CAP); valid[:rows] = 1.0
 
 mdl = GParareal(n, N, nm_max_iters=400, fatol=1e-6, xatol=1e-6,
-                score_dtype=DT)
-fit_warm, alphas, make_obj = mdl._get_fns(CAP)
+                score_dtype=DT,
+                optimizer=os.environ.get("GP_PROBE_OPT", "nm"))
+fit_warm, alphas, make_obj, fit_grid = mdl._get_fns(CAP)
 
 dsX, dsD, dsV = jnp.asarray(X), jnp.asarray(D), jnp.asarray(valid)
 nj = 9
@@ -88,6 +89,23 @@ elif STAGE == "fitreal":
     mdl.fit(ds, 0)
     print("fitreal ok: thetas", mdl.thetas, "jit", mdl.jitter_sel,
           f"{time.time()-t0:.1f}s")
+elif STAGE == "fitseq":
+    # the real-driver pattern pinpointed by NNGP_TPU_PARANOID_SYNC: fit at
+    # bucket 64 (k=0) succeeds, the SECOND fit at bucket 128 (k=1) kernel-
+    # faults. Reproduce: same model, same big backing arrays, two fits.
+    BIG = 1280
+    rng2 = np.random.default_rng(1)
+    Xb = np.zeros((BIG, n)); Db = np.zeros((BIG, n)); vb = np.zeros(BIG)
+    Xb[:80] = rng2.normal(size=(80, n))
+    Db[:80] = 1e-3 * rng2.normal(size=(80, n))
+    dsb = lambda r: Dataset(
+        X=jnp.asarray(Xb), D=jnp.asarray(Db),
+        valid=jnp.asarray((np.arange(BIG) < r).astype(float)))
+    mdl.N = 40
+    mdl.fit(dsb(40), 0)   # rows=40 -> bucket 64
+    print("fit k=0 (B=64) ok", flush=True)
+    mdl.fit(dsb(80), 1)   # rows=80 -> bucket 128
+    print("fitseq ok: thetas", mdl.thetas, f"{time.time()-t0:.1f}s")
 elif STAGE == "fit3":
     # real-driver interplay: compile+run the FHN fine fan-out and G chain
     # (the big RK executables) first, then the fit on real data — the

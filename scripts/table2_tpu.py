@@ -118,6 +118,11 @@ def main():
 
                     out = p.run(model="gpjax", fatol=1e-6, xatol=1e-6,
                                 score_dtype=_jnp.float32)
+                elif mdl == "gpjax-grid":
+                    # NM-free dense-grid hyperopt (the TPU path: the axon
+                    # toolchain kernel-faults the 2nd batched-NM
+                    # executable per process; see models/gp.py)
+                    out = p.run(model="gpjax", optimizer="grid")
                 elif mdl == "gp-oracle":
                     out = p.run(model="gpjax_scipy", fatol=1e-6, xatol=1e-6)
                 elif mdl == "nngp-oracle":

@@ -58,6 +58,16 @@ def test_fhn_gparareal_k5():
     assert out["k"] == 5  # BASELINE.md Table 1, FHN / GParareal / 5e-7
 
 
+@pytest.mark.skipif(not RUN_SLOW, reason="~45s on CPU (set RUN_SLOW=1)")
+def test_fhn_gparareal_grid_k5():
+    """The NM-free dense-grid hyperopt (the TPU GParareal path; see
+    models/gp.py) reproduces the published K on the end-to-end run."""
+    p = _fhn_parareal()
+    out = p.run(model="gpjax", optimizer="grid")
+    assert out["converged"]
+    assert out["k"] == 5
+
+
 def test_fhn_elm_converges():
     p = _fhn_parareal()
     out = p.run(model="elm", m=10, res_size=20)
