@@ -86,8 +86,14 @@ class NNGPTime(ModelBase):
         self.rng = np.random.default_rng(self.seed)
 
     def static_signature(self, k):
-        # iteration-index normalisation depends on k
-        return ("m", self.m_for(k), "k", int(k))
+        # k itself is traced (threaded through sweep_aux as "kval"), so a
+        # fixed-nn run compiles exactly ONE sweep executable — which also
+        # keeps the program containing the batched Nelder-Mead unique per
+        # process (the axon TPU toolchain kernel-faults the second distinct
+        # batched-NM executable; scripts/dev/gp_crash_probe.py fitseq).
+        # Only the neighbourhood size m stays static (it sets gather/top_k
+        # shapes), so adaptive-nn runs still retrace per m.
+        return ("m", self.m_for(k))
 
     def sweep_aux(self, k, N, cap=None):
         if cap is None:
@@ -95,7 +101,12 @@ class NNGPTime(ModelBase):
         n_rand = self.chains * 9 * self.n_restarts
         theta0 = self.rng.integers(-8, 0, size=(N, n_rand, 4)).astype(float)
         rand = self.rng.random((N, self.chains, cap))
-        return {"theta0": jnp.asarray(theta0), "rand": jnp.asarray(rand)}
+        return {
+            "theta0": jnp.asarray(theta0),
+            "rand": jnp.asarray(rand),
+            # per-slice copy of k: aux leaves are indexed [i] by the sweep
+            "kval": jnp.full((N,), float(k)),
+        }
 
     # ------------------------------------------------------------------
 
@@ -111,7 +122,11 @@ class NNGPTime(ModelBase):
         kk = row // N
         ii = row % N
         ii_n = 2.0 * ii / (N - 1) - 1.0
-        kk_n = jnp.ones(cap) if k == 0 else 2.0 * kk / k - 1.0
+        # iteration-index normalisation: traced k (see static_signature)
+        kv = aux_i["kval"]
+        kk_n = jnp.where(
+            kv < 0.5, jnp.ones(cap), 2.0 * kk / jnp.maximum(kv, 1.0) - 1.0
+        )
         q_int = 2.0 * i / (N - 1) - 1.0
         q_iter = 1.0  # nrm_iter(k) == max -> 1
 

@@ -50,7 +50,10 @@ SYSTEMS = [
     ("DblPend", DblPend, None, (15, 14), (15, 10, 10), (16, 12, 11)),
 ]
 
-OUT = "results/table2_tpu.json"
+# env TABLE2_OUT: alternate artifact path, so concurrent sweeps (e.g. a CPU
+# parity loop beside the on-chip loop) don't read-modify-write race on the
+# same JSON; merge afterwards with scripts/dev/merge_table2.py-style jq
+OUT = os.environ.get("TABLE2_OUT", "results/table2_tpu.json")
 
 
 def load_rows():
