@@ -155,10 +155,19 @@ class GParareal(ModelBase):
 
         def fit_grid(X, D, valid, grids):
             """Dense theta search: grids (T=n*nj, G, 2) linear-scale
-            candidates, coord-major tasks. Memory is bounded by
-            sequentialising tasks with lax.map and vmapping only the G
-            candidates (peak G x cap^2 per step); the program is plain
-            batched Cholesky NLLs — no Nelder-Mead loop."""
+            candidates, coord-major tasks. Memory is bounded twice:
+            tasks are sequentialised with lax.map, and within a task the
+            G candidates are evaluated in chunks sized so the live Gram
+            batch stays under ~2 GB (peak chunk x cap^2 per step); the
+            program is plain batched Cholesky NLLs — no Nelder-Mead
+            loop."""
+            G = grids.shape[1]
+            itemsize = 4 if score_dt is not None else 8
+            chunk = max(1, min(G, int(2 ** 28 // max(cap * cap, 1))
+                               * (8 // itemsize)))
+            n_chunks = -(-G // chunk)
+            Gp = n_chunks * chunk
+
             sqd = gpops.pairwise_sq_dists(X, X)
             jp = jnp.tile(jnp.asarray(self._jitters), n)  # (T,)
             if score_dt is not None:
@@ -169,15 +178,27 @@ class GParareal(ModelBase):
                 jp_s = jp.astype(score_dt)
             else:
                 sqd_s, D_s, v_s, g_s, jp_s = sqd, D, valid, grids, jp
+            # pad candidates to a whole number of chunks (theta=1 dummies;
+            # their NLLs are discarded by the fixed-G argmin below)
+            pad = Gp - G
+            if pad:
+                g_s = jnp.concatenate(
+                    [g_s, jnp.ones((g_s.shape[0], pad, 2), g_s.dtype)], 1
+                )
             Y = jnp.repeat(D_s.T, nj, axis=0)  # (T, CAP) coord-major
 
             def task_fn(args):
-                g, y, j = args
-                return jax.vmap(
-                    lambda t: gpops.nll_from_sqd(
-                        sqd_s, y, t, j, v_s, gpops.k_se_linear
-                    )
-                )(g)
+                g, y, j = args  # (Gp, 2), (CAP,), ()
+
+                def chunk_fn(gc):  # (chunk, 2)
+                    return jax.vmap(
+                        lambda t: gpops.nll_from_sqd(
+                            sqd_s, y, t, j, v_s, gpops.k_se_linear
+                        )
+                    )(gc)
+
+                out = lax.map(chunk_fn, g.reshape(n_chunks, chunk, 2))
+                return out.reshape(Gp)[:G]
 
             f = lax.map(task_fn, (g_s, Y, jp_s))  # (T, G)
             f = jnp.where(jnp.isnan(f), jnp.inf, f).astype(jnp.float64)
