@@ -40,6 +40,8 @@ class GParareal(ModelBase):
         seed=45,
         score_dtype=None,
         optimizer="nm",
+        grid_chunk=None,
+        grid_task_chunk=None,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -78,6 +80,13 @@ class GParareal(ModelBase):
         # = the reference's warm-start theta [1,1]
         self._grid_logs = np.linspace(-4.5, 1.5, 13)
         self._refine_half_span = 0.45
+        # explicit candidate-chunk override for the grid search (None =
+        # size by the ~2GB live-Gram budget)
+        self.grid_chunk = None if grid_chunk is None else int(grid_chunk)
+        # explicit tasks-per-device-call override (None = the measured
+        # 18 x 256^2 safe envelope; see fit_grid docstring)
+        self.grid_task_chunk = (None if grid_task_chunk is None
+                                else int(grid_task_chunk))
 
     # --- jitted helpers, cached per dataset capacity ---
 
@@ -153,31 +162,37 @@ class GParareal(ModelBase):
 
             return lax.map(coord_fn, (th, jv, D.T))  # (n, CAP)
 
-        def fit_grid(X, D, valid, grids):
-            """Dense theta search: grids (T=n*nj, G, 2) linear-scale
-            candidates, coord-major tasks. Memory is bounded twice:
-            tasks are sequentialised with lax.map, and within a task the
-            G candidates are evaluated in chunks sized so the live Gram
-            batch stays under ~2 GB (peak chunk x cap^2 per step); the
-            program is plain batched Cholesky NLLs — no Nelder-Mead
-            loop."""
+        def fit_grid(X, Ycols, valid, grids, jp):
+            """Dense theta search over one SLICE of the task pool:
+            Ycols (Tc, CAP) per-task targets, grids (Tc, G, 2)
+            linear-scale candidates, jp (Tc,) per-task log10 jitters.
+            Memory is bounded twice: tasks are sequentialised with
+            lax.map, and within a task the G candidates are evaluated in
+            chunks sized so the live Gram batch stays under ~2 GB (peak
+            chunk x cap^2 per step); the program is plain batched
+            Cholesky NLLs — no Nelder-Mead loop. The T axis is sliced by
+            the CALLER (_fit_grid_search) because single executables
+            above ~18 tasks x 256^2 Gram kernel-fault the axon TPU
+            worker (round-3 bisect, scripts/dev/gpgrid_fault_probe2.py:
+            (27, 256^2) crashes, (18, 256^2) and (27, 128^2) pass)."""
             G = grids.shape[1]
             itemsize = 4 if score_dt is not None else 8
             chunk = max(1, min(G, int(2 ** 28 // max(cap * cap, 1))
                                * (8 // itemsize)))
+            if self.grid_chunk is not None:
+                chunk = max(1, min(G, self.grid_chunk))
             n_chunks = -(-G // chunk)
             Gp = n_chunks * chunk
 
             sqd = gpops.pairwise_sq_dists(X, X)
-            jp = jnp.tile(jnp.asarray(self._jitters), n)  # (T,)
             if score_dt is not None:
                 sqd_s = sqd.astype(score_dt)
-                D_s = D.astype(score_dt)
+                Y = Ycols.astype(score_dt)
                 v_s = valid.astype(score_dt)
                 g_s = grids.astype(score_dt)
                 jp_s = jp.astype(score_dt)
             else:
-                sqd_s, D_s, v_s, g_s, jp_s = sqd, D, valid, grids, jp
+                sqd_s, Y, v_s, g_s, jp_s = sqd, Ycols, valid, grids, jp
             # pad candidates to a whole number of chunks (theta=1 dummies;
             # their NLLs are discarded by the fixed-G argmin below)
             pad = Gp - G
@@ -185,7 +200,6 @@ class GParareal(ModelBase):
                 g_s = jnp.concatenate(
                     [g_s, jnp.ones((g_s.shape[0], pad, 2), g_s.dtype)], 1
                 )
-            Y = jnp.repeat(D_s.T, nj, axis=0)  # (T, CAP) coord-major
 
             def task_fn(args):
                 g, y, j = args  # (Gp, 2), (CAP,), ()
@@ -200,7 +214,7 @@ class GParareal(ModelBase):
                 out = lax.map(chunk_fn, g.reshape(n_chunks, chunk, 2))
                 return out.reshape(Gp)[:G]
 
-            f = lax.map(task_fn, (g_s, Y, jp_s))  # (T, G)
+            f = lax.map(task_fn, (g_s, Y, jp_s))  # (Tc, G)
             f = jnp.where(jnp.isnan(f), jnp.inf, f).astype(jnp.float64)
             i = jnp.argmin(f, axis=1)
             th = jnp.take_along_axis(grids, i[:, None, None], 1)[:, 0, :]
@@ -279,9 +293,41 @@ class GParareal(ModelBase):
         ).reshape(-1, 2)  # (G, 2) log10
         G = base.shape[0]
 
+        # per-call task budget: executables above ~18 tasks x 256^2 Gram
+        # kernel-fault the axon worker (fit_grid docstring); slice the
+        # task pool so each device call stays inside the proven envelope.
+        cap = int(dsX.shape[0])
+        tc = self.grid_task_chunk
+        if tc is None:
+            tc = max(1, min(T, (18 * 256 * 256) // max(cap * cap, 1)))
+        Tp = -(-T // tc) * tc
+        Ycols = np.repeat(np.asarray(dsD).T, nj, axis=0)  # (T, CAP)
+        jp_full = np.tile(self._jitters, n)  # (T,)
+        if Tp > T:  # dummy tasks: zero targets, mid jitter — discarded
+            Ycols = np.concatenate(
+                [Ycols, np.zeros((Tp - T, Ycols.shape[1]))], 0)
+            jp_full = np.concatenate([jp_full, np.full(Tp - T, -12.0)])
+        Yj = jnp.asarray(Ycols)
+        jpj = jnp.asarray(jp_full)
+
+        def run_grid(g_full):
+            """fit_grid over the whole (T, G, 2) pool, tc tasks per
+            device call (same shapes every call -> one executable)."""
+            gp_ = np.concatenate(
+                [g_full, np.ones((Tp - T, G, 2))], 0
+            ) if Tp > T else g_full
+            gj = jnp.asarray(gp_)
+            th_parts, f_parts = [], []
+            for s in range(0, Tp, tc):
+                th_s, f_s = fit_grid(dsX, Yj[s:s + tc], dsV,
+                                     gj[s:s + tc], jpj[s:s + tc])
+                th_parts.append(np.array(th_s))
+                f_parts.append(np.array(f_s))
+            return (np.concatenate(th_parts)[:T],
+                    np.concatenate(f_parts)[:T])
+
         g1 = np.broadcast_to(10.0 ** base, (T, G, 2))
-        th1, f1 = fit_grid(dsX, dsD, dsV, jnp.asarray(g1))
-        th1, f1 = np.array(th1), np.array(f1)
+        th1, f1 = run_grid(g1)
 
         hs = self._refine_half_span
         r = np.linspace(-hs, hs, len(logs))
@@ -294,8 +340,7 @@ class GParareal(ModelBase):
         th, fv = th1, f1
         for widen in (1.0, 4.0, 16.0):
             g2 = 10.0 ** (centre[:, None, :] + widen * offs[None])
-            th2, f2 = fit_grid(dsX, dsD, dsV, jnp.asarray(g2))
-            th2, f2 = np.array(th2), np.array(f2)
+            th2, f2 = run_grid(g2)
             better = f2 < fv
             th = np.where(better[:, None], th2, th)
             fv = np.minimum(fv, f2)

@@ -88,14 +88,19 @@ def test_lifted_field_matches_f64(cls, kw):
     ids=lambda v: getattr(v, "__name__", ""),
 )
 def test_lifted_rk_steps_track_f64(cls, kw):
-    """100 eager RK4 steps in ds arithmetic stay within ~1e-11 of f64."""
+    """30 eager RK4 steps in ds arithmetic stay within ~1e-11 of f64.
+
+    Eager execution is deliberate (see module docstring) but slow —
+    30 steps already accumulate well past any single-step fluke while
+    keeping the suite wall down; the long-horizon ds tracking evidence
+    is the on-chip K-parity table (PARITY.md ds32 section)."""
     ode = cls(normalization="-11", **kw)
     f = ode.get_vector_field()
     f_ds = ode.get_ds_vector_field()
     u = jnp.asarray(ode.get_init_cond())
     uh, ul = ds32.ds_from_f64(u)
     dt = 1e-3
-    for n in range(100):
+    for n in range(30):
         t = n * dt
         u = rk_step(f, "RK4", t, u, dt)
         uh, ul = rk_step_ds(f_ds, "RK4", t, uh, ul, jnp.asarray(dt))

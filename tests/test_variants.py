@@ -30,8 +30,8 @@ def test_neighbor_strategies_run(strategy):
 def test_nngp_time_converges():
     p = _fhn()
     out = p.run(model="nngp_time", nn=10, reps=2, nn_iters=2,
-                nm_max_iters=40, early_stop=3)
-    assert out["k"] == 3
+                nm_max_iters=40, early_stop=2)
+    assert out["k"] == 2
     assert np.all(np.isfinite(out["u"]))
 
 
