@@ -151,16 +151,21 @@ def make_traj_integrator(f, tableau, steps, jit=True):
 # (dim, B): a (B, dim) array with dim ~ 3 uses 3 of the VPU's 128 lanes,
 # while (dim, B) puts the big slice batch in the lane axis
 _TRANSPOSE_DIM_CUTOFF = 64
+_LANES = 128  # VPU lane width: the packed layout's trailing-axis size
 
 
 def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
-                                 unroll=1):
+                                 unroll=1, pack=True):
     """Build ``fan_out(t0s, t1s, U) -> (B, dim)``: the parareal fine fan-out.
 
     One batched RK kernel over all B time slices at once — the TPU-native
     replacement for the reference's MPI pool.map over slices
-    (reference parareal.py:310-315). Low-dimensional systems run in
-    transposed (dim, B) layout so the slice batch fills the vector lanes.
+    (reference parareal.py:310-315). Low-dimensional systems run in a
+    packed (dim, B/128, 128) layout (``pack=True``, default): each
+    per-coordinate elementwise op then fills whole (8, 128) vector
+    registers instead of ceil(B/128) registers at 1/8 sublane fill, ~4x
+    fewer per-step instructions on the d=3 zoo. ``pack=False`` keeps the
+    flat transposed (dim, B) layout (bitwise-identical results).
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -179,12 +184,30 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
     def chunk_fn_T(t0s, dts, UT, n_chunk):
         return integrate_last(fT, tab, t0s, dts, n_chunk, UT, unroll=unroll)
 
+    # packed path: slices laid out as (rows, 128) in the last two axes;
+    # the field vmapped over both batch axes (rows then lanes)
+    fP = jax.vmap(fT, in_axes=(0, 1), out_axes=1)
+
+    def chunk_fn_P(t0s, dts, U, n_chunk):
+        B, dim = U.shape
+        rows = -(-B // _LANES)
+        padn = rows * _LANES - B
+        t0p = jnp.pad(t0s, (0, padn), mode="edge").reshape(rows, _LANES)
+        dtp = jnp.pad(dts, (0, padn), mode="edge").reshape(rows, _LANES)
+        Up = jnp.pad(U, ((0, padn), (0, 0)), mode="edge")
+        UP = Up.T.reshape(dim, rows, _LANES)
+        out = integrate_last(fP, tab, t0p, dtp, n_chunk, UP, unroll=unroll)
+        return out.reshape(dim, rows * _LANES).T[:B]
+
     if jit:
         chunk_fn = jax.jit(chunk_fn, static_argnums=(3,))
         chunk_fn_T = jax.jit(chunk_fn_T, static_argnums=(3,))
+        chunk_fn_P = jax.jit(chunk_fn_P, static_argnums=(3,))
 
     def dispatch(t0s, dts, U, n_chunk):
         if U.shape[1] < _TRANSPOSE_DIM_CUTOFF:
+            if pack:
+                return chunk_fn_P(t0s, dts, U, n_chunk)
             return chunk_fn_T(t0s, dts, U.T, n_chunk).T
         return chunk_fn(t0s, dts, U, n_chunk)
 

@@ -86,18 +86,23 @@ def integrate_last_ds(f_ds, tableau, t0, dt, steps, u0h, u0l, unroll=1):
 # (B, dim) array with dim ~ 3 uses 3 of the VPU's 128 lanes, while
 # (dim, B) puts the big slice batch in the lane axis
 _TRANSPOSE_DIM_CUTOFF = 64
+_LANES = 128  # VPU lane width: the packed layout's trailing-axis size
 
 
 def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
-                                    jit=True, unroll=1):
+                                    jit=True, unroll=1, pack=True):
     """ds twin of make_batched_last_integrator: ``fan_out(t0s, t1s, U)``.
 
     U is (B, dim) f64; internally split into f32 pairs, integrated, and
     recombined — callers see the same f64 contract as the f64 fan-out.
     Batching is ``jax.vmap`` of the single-slice ds stepper (any field
-    lifts — see ops/ds_lift.py); low-dimensional systems run in the
-    transposed (dim, B) layout so the slice batch fills the vector lanes,
-    exactly like the f64 fan-out (ops/rk.py:156-208).
+    lifts — see ops/ds_lift.py); low-dimensional systems run in a packed
+    (dim, B/128, 128) layout (``pack=True``, default) so every
+    per-coordinate elementwise op fills whole (8, 128) vector registers —
+    a 1-D (B,)-row op occupies ceil(B/128) registers at 1/8 sublane fill,
+    so packing cuts the per-step instruction count ~4x on the d=3 zoo.
+    ``pack=False`` falls back to the flat transposed (dim, B) layout
+    (bitwise-identical results; the per-slice arithmetic is unchanged).
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -120,12 +125,39 @@ def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
         return integrate_last_ds(fT, tab, t0s, dts, n_chunk, UhT, UlT,
                                  unroll=unroll)
 
+    # packed path: slices laid out as (rows, 128) in the last two axes so
+    # each coordinate row is a full-width vreg block; the field vmapped
+    # over both batch axes (rows then lanes).
+    fP = jax.vmap(fT, in_axes=(0, (1, 1)), out_axes=(1, 1))
+
+    def chunk_packed(t0s, dts, Uh, Ul, n_chunk):
+        B, dim = Uh.shape
+        rows = -(-B // _LANES)
+        padn = rows * _LANES - B
+        t0p = jnp.pad(t0s, (0, padn), mode="edge").reshape(rows, _LANES)
+        dtp = jnp.pad(dts, (0, padn), mode="edge").reshape(rows, _LANES)
+
+        def to_p(X):
+            Xp = jnp.pad(X, ((0, padn), (0, 0)), mode="edge")
+            return Xp.T.reshape(dim, rows, _LANES)
+
+        oh, ol = integrate_last_ds(fP, tab, t0p, dtp, n_chunk,
+                                   to_p(Uh), to_p(Ul), unroll=unroll)
+
+        def from_p(X):
+            return X.reshape(dim, rows * _LANES).T[:B]
+
+        return from_p(oh), from_p(ol)
+
     if jit:
         chunk = jax.jit(chunk, static_argnums=(4,))
         chunk_T = jax.jit(chunk_T, static_argnums=(4,))
+        chunk_packed = jax.jit(chunk_packed, static_argnums=(4,))
 
     def dispatch(t0s, dts, Uh, Ul, n_chunk):
         if Uh.shape[1] < _TRANSPOSE_DIM_CUTOFF:
+            if pack:
+                return chunk_packed(t0s, dts, Uh, Ul, n_chunk)
             oh, ol = chunk_T(t0s, dts, Uh.T, Ul.T, n_chunk)
             return oh.T, ol.T
         return chunk(t0s, dts, Uh, Ul, n_chunk)

@@ -64,10 +64,22 @@ def main():
         t1s = jnp.full(B, 0.2)
 
         out64, t_64 = bench(
-            make_batched_last_integrator(f64, tab, steps), t0s, t1s, U
+            make_batched_last_integrator(f64, tab, steps, pack=False),
+            t0s, t1s, U
         )
         outds, t_ds = bench(
-            make_batched_last_integrator_ds(fds, tab, steps), t0s, t1s, U
+            make_batched_last_integrator_ds(fds, tab, steps, pack=False),
+            t0s, t1s, U
+        )
+        # lane-packed layouts (the small-d default since round 3): each
+        # per-coordinate row fills whole (8, 128) vregs
+        out64p, t_64p = bench(
+            make_batched_last_integrator(f64, tab, steps, pack=True),
+            t0s, t1s, U
+        )
+        outdsp, t_dsp = bench(
+            make_batched_last_integrator_ds(fds, tab, steps, pack=True),
+            t0s, t1s, U
         )
         outpl, t_pl = bench(
             make_pallas_fanout_ds(fds, tab, steps), t0s, t1s, U
@@ -76,13 +88,21 @@ def main():
         print({
             "system": name, "B": B, "d": d, "steps": steps, "tab": tab,
             "t_f64_s": round(t_64, 3), "t_ds_s": round(t_ds, 3),
+            "t_f64_packed_s": round(t_64p, 3),
+            "t_ds_packed_s": round(t_dsp, 3),
             "t_pallas_s": round(t_pl, 3),
             "us_per_step": {
                 "f64": round(1e6 * t_64 / steps, 2),
                 "ds": round(1e6 * t_ds / steps, 2),
+                "f64_packed": round(1e6 * t_64p / steps, 2),
+                "ds_packed": round(1e6 * t_dsp / steps, 2),
                 "pallas": round(1e6 * t_pl / steps, 2),
             },
             "rel_dev_ds_vs_f64": float(np.abs(outds - out64).max() / scale),
+            "rel_dev_f64packed_vs_f64": float(
+                np.abs(out64p - out64).max() / scale),
+            "rel_dev_dspacked_vs_ds": float(
+                np.abs(outdsp - outds).max() / scale),
             "rel_dev_pallas_vs_ds": float(np.abs(outpl - outds).max() / scale),
         }, flush=True)
 

@@ -115,3 +115,22 @@ def test_tableau_consistency():
         assert abs(sum(tab.b) - 1.0) < 1e-12, name
         for i, row in enumerate(tab.a):
             assert abs(sum(row) - tab.c[i]) < 1e-12, (name, i)
+
+
+def test_packed_matches_transposed():
+    """The lane-packed (dim, B/128, 128) small-d fan-out layout must agree
+    with the flat transposed (dim, B) layout — same per-slice arithmetic,
+    only the register tiling differs (f64 is bitwise on CPU; keep a tight
+    tolerance so any real arithmetic change trips)."""
+    rng = np.random.default_rng(1)
+    for B in (300, 64):  # non-multiple of 128, and under one lane tile
+        u0s = jnp.asarray(rng.normal(size=(B, 3)))
+        t0s = jnp.linspace(0.0, 1.0, B)
+        t1s = t0s + 0.05
+        fan_t = make_batched_last_integrator(f_lorenz, "RK4", 40, pack=False)
+        fan_p = make_batched_last_integrator(f_lorenz, "RK4", 40, pack=True)
+        np.testing.assert_allclose(
+            np.asarray(fan_p(t0s, t1s, u0s)),
+            np.asarray(fan_t(t0s, t1s, u0s)),
+            rtol=1e-13, atol=1e-14,
+        )

@@ -78,3 +78,29 @@ def test_burgers_ds_integration_matches_f64():
     err32 = np.max(np.abs(np.asarray(got32, dtype=np.float64)
                           - np.asarray(want32)))
     assert err32 > 1e-6
+
+
+def test_ds_packed_matches_transposed():
+    """ds fan-out: lane-packed layout vs flat transposed layout. Fusion
+    boundaries differ, so FMA contraction can shift results at the ds
+    floor (~1e-12 rel measured on Hopf) — assert well under the ds-vs-f64
+    deviation the solver already tolerates."""
+    import numpy as np
+    from nngparareal_tpu.systems.odes import Hopf
+    from nngparareal_tpu.ops.ds_lift import ds_lift
+    from nngparareal_tpu.ops.rk_ds import make_batched_last_integrator_ds
+
+    ode = Hopf()
+    f_ds = ds_lift(ode.get_vector_field())
+    rng = np.random.default_rng(2)
+    B = 160
+    U = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)))
+    t0s = jnp.linspace(0.0, 1.0, B)
+    t1s = t0s + 0.01
+    fan_t = make_batched_last_integrator_ds(f_ds, "RK8", 30, pack=False)
+    fan_p = make_batched_last_integrator_ds(f_ds, "RK8", 30, pack=True)
+    np.testing.assert_allclose(
+        np.asarray(fan_p(t0s, t1s, U)),
+        np.asarray(fan_t(t0s, t1s, U)),
+        rtol=0, atol=1e-11,
+    )
