@@ -154,8 +154,15 @@ _TRANSPOSE_DIM_CUTOFF = 64
 _LANES = 128  # VPU lane width: the packed layout's trailing-axis size
 
 
+def _pack_default():
+    """Lane packing pays only where (8, 128) register tiling is real —
+    i.e. TPU. On CPU the pad-to-128-lanes is genuine extra FLOPs (a B=1
+    probe would do 128x the work), so auto mode disables it there."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
-                                 unroll=1, pack=True):
+                                 unroll=1, pack=None):
     """Build ``fan_out(t0s, t1s, U) -> (B, dim)``: the parareal fine fan-out.
 
     One batched RK kernel over all B time slices at once — the TPU-native
@@ -165,7 +172,9 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
     per-coordinate elementwise op then fills whole (8, 128) vector
     registers instead of ceil(B/128) registers at 1/8 sublane fill, ~4x
     fewer per-step instructions on the d=3 zoo. ``pack=False`` keeps the
-    flat transposed (dim, B) layout (bitwise-identical results).
+    flat transposed (dim, B) layout (bitwise-identical results);
+    ``pack=None`` (default) enables packing only on non-CPU backends,
+    resolved lazily at the first dispatch.
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -206,7 +215,7 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
 
     def dispatch(t0s, dts, U, n_chunk):
         if U.shape[1] < _TRANSPOSE_DIM_CUTOFF:
-            if pack:
+            if pack if pack is not None else _pack_default():
                 return chunk_fn_P(t0s, dts, U, n_chunk)
             return chunk_fn_T(t0s, dts, U.T, n_chunk).T
         return chunk_fn(t0s, dts, U, n_chunk)

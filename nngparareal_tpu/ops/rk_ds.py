@@ -90,7 +90,7 @@ _LANES = 128  # VPU lane width: the packed layout's trailing-axis size
 
 
 def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
-                                    jit=True, unroll=1, pack=True):
+                                    jit=True, unroll=1, pack=None):
     """ds twin of make_batched_last_integrator: ``fan_out(t0s, t1s, U)``.
 
     U is (B, dim) f64; internally split into f32 pairs, integrated, and
@@ -102,7 +102,10 @@ def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
     a 1-D (B,)-row op occupies ceil(B/128) registers at 1/8 sublane fill,
     so packing cuts the per-step instruction count ~4x on the d=3 zoo.
     ``pack=False`` falls back to the flat transposed (dim, B) layout
-    (bitwise-identical results; the per-slice arithmetic is unchanged).
+    (the per-slice arithmetic is unchanged; results agree at the ds
+    floor). ``pack=None`` (default) packs only on non-CPU backends —
+    on CPU the pad-to-128-lanes is real extra work (ops/rk.py
+    _pack_default).
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -156,7 +159,9 @@ def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
 
     def dispatch(t0s, dts, Uh, Ul, n_chunk):
         if Uh.shape[1] < _TRANSPOSE_DIM_CUTOFF:
-            if pack:
+            from nngparareal_tpu.ops.rk import _pack_default
+
+            if pack if pack is not None else _pack_default():
                 return chunk_packed(t0s, dts, Uh, Ul, n_chunk)
             oh, ol = chunk_T(t0s, dts, Uh.T, Ul.T, n_chunk)
             return oh.T, ol.T
