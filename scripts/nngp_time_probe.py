@@ -9,6 +9,7 @@ the way to the reference's full setting (nn=11, n_restarts=20,
 nn_iters=20, reps=10; reference nnGPara_with_time.py:654-657).
 
 Usage: python scripts/nngp_time_probe.py [ladder|full] [system]
+env NNGPTIME_CPU=1 forces the CPU backend (reference-arithmetic f64).
 """
 
 import os
@@ -16,6 +17,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("NNGPTIME_CPU") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
