@@ -30,7 +30,10 @@ def main():
     T = float(sys.argv[1]) if len(sys.argv) > 1 else 5.9
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     optimizer = sys.argv[3] if len(sys.argv) > 3 else "grid"
-    ms = [12, 15, 18, 21, 25, 30]
+    # optional: restrict to one m and start seeds at an offset (to extend
+    # the NM seed band without re-running finished seeds)
+    ms = [int(sys.argv[4])] if len(sys.argv) > 4 else [12, 15, 18, 21, 25, 30]
+    seed0 = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     N = 128
     rows = []
     ode = Burgers(d_x=N, normalization="-11")
@@ -40,7 +43,8 @@ def main():
         p = Parareal(ode, solver, [0.0, T], N, epsilon=5e-7, verbose=None)
         # the grid path draws no RNG (theta0 restarts exist only under NM),
         # so grid-mode K is seed-invariant by construction: run it once
-        seeds = range(n_seeds) if optimizer != "grid" else range(1)
+        seeds = (range(seed0, seed0 + n_seeds) if optimizer != "grid"
+                 else range(1))
         for seed in seeds:
             try:
                 out = p.run(model="nngp", nn=m, seed=seed,
