@@ -28,5 +28,13 @@ step hopf64_ds 2400 python scripts/hopf512_e2e.py 64 0 ds
 probe
 step hopf128_ds 3000 python scripts/hopf512_e2e.py 128 0 ds
 probe
+# on-chip nnGP-time green run (round-2 crash item): resumable, Lorenz
+for i in 1 2 3 4; do
+  echo "=== nngp-time-chip attempt $i $(date +%H:%M:%S)" >> "$LOG"
+  timeout 3600 python scripts/run_resumable.py Lorenz nngp-time 5e-7 nn=11 >> "$LOG" 2>&1 && break
+  echo "--- nngp-time-chip attempt $i failed (rc=$?)" >> "$LOG"
+  probe
+done
+probe
 step across_m_nm 14400 python scripts/burgers_across_m_tpu.py 5.9 7 nm 18 3
 echo "CHIPQUEUE2 DONE $(date +%H:%M:%S)" >> "$LOG"
