@@ -12,9 +12,10 @@ Design:
   * arithmetic is double-single f32 (ops/ds32.py) — Mosaic has no f64,
     and the ds floor (~1e-14 relative) holds the solver's 5e-7/5e-9
     tolerances (validated across the zoo, tests/test_ds_lift.py);
-  * layout matches the XLA fan-out's lane rule: (dim, B) transposed for
-    dim < 64 so the slice batch fills the 128-wide lanes, (B, dim)
-    otherwise (ops/rk.py:150-156);
+  * layout matches the XLA fan-out's lane rule: lane-packed
+    (dim, ceil(B/128), 128) for dim < 64 so every per-coordinate op fills
+    whole (8, 128) vregs (slice batch padded to a lane multiple), (B, dim)
+    otherwise (ops/rk.py, ops/rk_ds.py packed paths);
   * the parareal fan-out always has a UNIFORM slice width, so the
     per-stage step coefficients h*a_ij / h*b_i are (hi, lo) f32 pairs
     computed from the f64 dt outside the kernel and read from SMEM;
@@ -41,6 +42,7 @@ from nngparareal_tpu.ops import ds32
 from nngparareal_tpu.ops.rk_ds import ds_axpy
 
 _TRANSPOSE_DIM_CUTOFF = 64
+_LANES = 128  # VPU lane width: trailing-axis size of the packed layout
 
 
 def _coef_layout(tab):
@@ -69,10 +71,16 @@ def _coef_layout(tab):
     return np.asarray(vals, np.float64), stage_terms, b_terms
 
 
-def _make_kernel(f_ds, tab, steps, shape, transposed):
+def _make_kernel(f_ds, tab, steps, shape, layout):
     vals, stage_terms, b_terms = _coef_layout(tab)
 
-    if transposed:
+    if layout == "P":
+        # packed (dim, rows, 128): batch in BOTH trailing axes so every
+        # per-coordinate elementwise op fills whole (8, 128) vregs — the
+        # same lane rule as the XLA fan-out's packed path (ops/rk_ds.py)
+        fT = jax.vmap(f_ds, in_axes=(None, (1, 1)), out_axes=(1, 1))
+        f_batched = jax.vmap(fT, in_axes=(None, (1, 1)), out_axes=(1, 1))
+    elif layout == "T":
         # field over (dim, B): batch in the trailing (lane) axis
         f_batched = jax.vmap(f_ds, in_axes=(None, (1, 1)), out_axes=(1, 1))
     else:
@@ -102,6 +110,11 @@ def _make_kernel(f_ds, tab, steps, shape, transposed):
             r[:].reshape(s) if s != () else r[0, 0]
             for r, s in zip(const_refs, const_shapes)
         ]
+        # the step coefficients are loop-invariant: read each SMEM scalar
+        # ONCE before the multi-million-trip loop instead of ~n_coef
+        # scalar loads per step
+        n_coef = int(vals.shape[0])
+        coefs = [(ch_ref[i, 0], cl_ref[i, 0]) for i in range(n_coef)]
 
         def field(uh, ul):
             kh, kl = jax.core.eval_jaxpr(closed.jaxpr, cvals, uh, ul)
@@ -113,15 +126,11 @@ def _make_kernel(f_ds, tab, steps, shape, transposed):
             for i in range(tab.stages):
                 vh, vl = uh, ul
                 for j, cidx in stage_terms[i]:
-                    vh, vl = ds_axpy(
-                        vh, vl, ch_ref[cidx, 0], cl_ref[cidx, 0], *ks[j]
-                    )
+                    vh, vl = ds_axpy(vh, vl, *coefs[cidx], *ks[j])
                 ks.append(field(vh, vl))
             oh, ol = uh, ul
             for i, cidx in b_terms:
-                oh, ol = ds_axpy(
-                    oh, ol, ch_ref[cidx, 0], cl_ref[cidx, 0], *ks[i]
-                )
+                oh, ol = ds_axpy(oh, ol, *coefs[cidx], *ks[i])
             return oh, ol
 
         uh, ul = lax.fori_loop(
@@ -145,10 +154,17 @@ def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
 
     @functools.cache
     def build(dim, B):
-        transposed = dim < _TRANSPOSE_DIM_CUTOFF
-        shape = (dim, B) if transposed else (B, dim)
+        if dim < _TRANSPOSE_DIM_CUTOFF:
+            # lane-packed: (dim, rows, 128) with the slice batch padded to
+            # a multiple of 128 in the trailing axes
+            layout = "P"
+            rows = -(-B // _LANES)
+            shape = (dim, rows, _LANES)
+        else:
+            layout = "row"
+            shape = (B, dim)
         kernel, vals, consts2d = _make_kernel(f_ds, tab, steps, shape,
-                                              transposed)
+                                              layout)
         n_coef = int(vals.shape[0])
 
         call = pl.pallas_call(
@@ -172,22 +188,31 @@ def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
             ),
             interpret=interpret,
         )
-        return call, vals, consts2d, transposed
+        return call, vals, consts2d, layout
 
     @jax.jit
     def run(t0s, t1s, U):
         B, dim = U.shape
-        call, vals, consts2d, transposed = build(int(dim), int(B))
+        call, vals, consts2d, layout = build(int(dim), int(B))
         dt = (t1s[0] - t0s[0]) / steps  # uniform slice width (f64)
         coefs = vals * dt  # (n_coef,) f64
         ch = coefs.astype(jnp.float32)
         cl = (coefs - ch.astype(jnp.float64)).astype(jnp.float32)
         Uh, Ul = ds32.ds_from_f64(U)
-        if transposed:
-            Uh, Ul = Uh.T, Ul.T
-        oh, ol = call(ch[:, None], cl[:, None], *consts2d, Uh, Ul)
-        if transposed:
-            oh, ol = oh.T, ol.T
+        if layout == "P":
+            rows = -(-B // _LANES)
+            padn = rows * _LANES - B
+
+            def to_p(X):
+                Xp = jnp.pad(X, ((0, padn), (0, 0)), mode="edge")
+                return Xp.T.reshape(dim, rows, _LANES)
+
+            oh, ol = call(ch[:, None], cl[:, None], *consts2d,
+                          to_p(Uh), to_p(Ul))
+            oh = oh.reshape(dim, rows * _LANES).T[:B]
+            ol = ol.reshape(dim, rows * _LANES).T[:B]
+        else:
+            oh, ol = call(ch[:, None], cl[:, None], *consts2d, Uh, Ul)
         return ds32.ds_to_f64(oh, ol)
 
     return run
