@@ -31,7 +31,8 @@ probe
 # on-chip nnGP-time green run (round-2 crash item): resumable, Lorenz
 for i in 1 2 3 4; do
   echo "=== nngp-time-chip attempt $i $(date +%H:%M:%S)" >> "$LOG"
-  timeout 3600 python scripts/run_resumable.py Lorenz nngp-time 5e-7 nn=11 >> "$LOG" 2>&1 && break
+  timeout 3600 python scripts/run_resumable.py Lorenz nngp-time 5e-7 \
+    nn=11 nn_iters=20 n_restarts=20 reps=10 tag=tpu >> "$LOG" 2>&1 && break
   echo "--- nngp-time-chip attempt $i failed (rc=$?)" >> "$LOG"
   probe
 done

@@ -107,6 +107,8 @@ def main():
         run_kw["cap_iters"] = int(opts["cap_iters"])
 
     int_dir = f"results/ckpt/{sysname}_{N}_{mdl_tag}_{eps:g}"
+    if "tag" in opts:  # separate checkpoint namespace (e.g. cpu vs tpu)
+        int_dir += f"_{opts['tag']}"
     os.makedirs(int_dir, exist_ok=True)
     ckpts = glob.glob(os.path.join(int_dir, "*", "*_int_*"))
     t0 = time.time()
