@@ -160,28 +160,69 @@ _TABLE2_SYSTEMS = [
 ]
 
 
+def _run_table2_system(task, mesh=None):
+    """One whole-system Table-2 run; module-level so it pickles into a
+    spawned worker (the reference keeps pool-shipped functions at module
+    scope for the same reason, RK.py:141-144). Workers force the CPU
+    backend: a single TPU chip cannot be shared between processes, and the
+    reference's experiment-level pool was likewise CPU workers
+    (Table_2.py:46)."""
+    idx, epsilon, models, in_worker = task
+    if in_worker:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    ctor, nn7, nn9 = _TABLE2_SYSTEMS[idx]
+    nn = nn7 if epsilon == 5e-7 else nn9
+    ode = ctor(normalization="-11")
+    N_arg = 32 if isinstance(ode, Hopf) else None
+    cfg = Config(ode, N=N_arg).get()
+    solver = RKSolver(
+        ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
+    )
+    p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=epsilon)
+    model_kwargs = {
+        "nngp": dict(nn=nn),
+        "gpjax": dict(fatol=1e-6, xatol=1e-6),
+    }
+    sys_rows = _run_models(p, model_kwargs, models, None, "", mesh=mesh)
+    return {"system": ode.name, "epsilon": epsilon, "nn": nn,
+            "runs": sys_rows}
+
+
 def run_table2(epsilon=5e-7, models=MODELS_DEFAULT, results_dir="results",
-               mesh=None):
-    """Iterations-to-convergence across 6 ODE systems (Table_2.py:24-47)."""
+               mesh=None, systems=None, pool=None):
+    """Iterations-to-convergence across 6 ODE systems (Table_2.py:24-47).
+
+    ``systems``: optional subset of system names (e.g. ["FHN_ODE"]).
+    ``pool``: experiment-level parallelism — an int fans the whole-system
+    runs over that many spawned CPU worker processes, the reference's
+    ``pool.map(do, range(len(names)))`` (Table_2.py:46). Mutually
+    exclusive with ``mesh`` (one SPMD program per process).
+    """
+    sel = [i for i, (ctor, _, _) in enumerate(_TABLE2_SYSTEMS)
+           if systems is None
+           or ctor(normalization="-11").name in systems]
+    if pool:
+        if mesh is not None:
+            raise ValueError("pool= (process fan-out) and mesh= (SPMD) "
+                             "are mutually exclusive")
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        tasks = [(i, epsilon, tuple(models), True) for i in sel]
+        with ProcessPoolExecutor(
+            max_workers=pool, mp_context=mp.get_context("spawn")
+        ) as ex:
+            rows = list(ex.map(_run_table2_system, tasks))
+        if results_dir:
+            store_pickle(rows, f"table2_eps{epsilon:g}.pkl", results_dir)
+        return rows
     rows = []
-    for ctor, nn7, nn9 in _TABLE2_SYSTEMS:
-        nn = nn7 if epsilon == 5e-7 else nn9
-        ode = ctor(normalization="-11")
-        N_arg = 32 if isinstance(ode, Hopf) else None
-        cfg = Config(ode, N=N_arg).get()
-        solver = RKSolver(
-            ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"]
-        )
-        p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=epsilon)
-        model_kwargs = {
-            "nngp": dict(nn=nn),
-            "gpjax": dict(fatol=1e-6, xatol=1e-6),
-        }
-        sys_rows = _run_models(
-            p, model_kwargs, models, None, "", mesh=mesh
-        )
-        rows.append({"system": ode.name, "epsilon": epsilon, "nn": nn,
-                     "runs": sys_rows})
+    for i in sel:
+        row = _run_table2_system((i, epsilon, tuple(models), False),
+                                 mesh=mesh)
+        rows.append(row)
         if results_dir:
             store_pickle(rows, f"table2_eps{epsilon:g}.pkl", results_dir)
     return rows
@@ -233,6 +274,12 @@ def main(argv=None):
     ap.add_argument("--gp-nm-iters", type=int, default=None,
                     help="full-GP fixed Nelder-Mead iteration count "
                          "(default 400)")
+    ap.add_argument("--pool", type=int, default=None,
+                    help="table2: fan whole-system runs over this many "
+                         "spawned CPU worker processes (the reference's "
+                         "experiment-level pool.map, Table_2.py:46)")
+    ap.add_argument("--systems", nargs="+", default=None,
+                    help="table2: subset of system names")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -267,7 +314,7 @@ def main(argv=None):
                            args.results_dir, mesh, nngp_kw=nngp_kw)
     elif args.experiment == "table2":
         rows = run_table2(args.epsilon, tuple(args.models), args.results_dir,
-                          mesh)
+                          mesh, systems=args.systems, pool=args.pool)
     else:
         rows = run_burgers_across_m(T=args.T, results_dir=args.results_dir,
                                     mesh=mesh)
