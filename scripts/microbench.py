@@ -87,7 +87,8 @@ def main():
         model.state_pytree(), aux,
     )
     t0 = time.perf_counter()
-    out = jax.block_until_ready(sweep(*args))
+    out = sweep(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # relay-proof sync
     print(f"sweep compile+run:                          {time.perf_counter()-t0:.3f}s")
     dt, _ = timeit(lambda: sweep(*args), reps=2)
     print(f"fused nnGP sweep ({N} intervals):           {dt:.3f}s")
