@@ -596,8 +596,10 @@ class Parareal:
                 # host/python sweeps compile their inner jitted step by
                 # executing once
                 _block(sweep(*wargs))
+            # restores the pre-warmup rng stream too (rng_state in the
+            # ckpt state), so warmup draws stay invisible to the run AND
+            # a resumed stream is not clobbered back to the seed
             model.set_ckpt_state(saved)
-            model.reset_rng()
         warmup_t = time.perf_counter() - warmup_t0
         core_t0 = time.perf_counter()
 

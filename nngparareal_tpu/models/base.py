@@ -153,13 +153,25 @@ class ModelBase:
 
     # --- checkpoint support ---
 
+    # host RNG attributes snapshotted into checkpoints: the reference's
+    # resume pickles the model INCLUDING its np Generators (models.py:
+    # 262-270), so a resumed run continues the restart-draw stream exactly
+    # where the interrupted run left it — we preserve that.
+    _RNG_ATTRS = ("rng", "rng2")
+
     def get_ckpt_state(self):
+        rngs = {}
+        for a in self._RNG_ATTRS:
+            g = getattr(self, a, None)
+            if isinstance(g, np.random.Generator):
+                rngs[a] = g.bit_generator.state
         return {
             "train_time": self.train_time,
             "pred_time": self.pred_time,
             "pred_times": self.pred_times,
             "active_counts": self.active_counts,
             "time_k": self.time_k,
+            "rng_state": rngs,
         }
 
     def set_ckpt_state(self, state):
@@ -170,3 +182,13 @@ class ModelBase:
             state.get("active_counts", np.zeros_like(self.pred_times))
         )
         self.time_k = int(state["time_k"])
+        rngs = state.get("rng_state")
+        if rngs is None:
+            # checkpoint predates rng snapshotting: restart the stream
+            # from the seed (the pre-round-3 resume behavior)
+            self.reset_rng()
+        else:
+            for a, s in rngs.items():
+                g = getattr(self, a, None)
+                if isinstance(g, np.random.Generator):
+                    g.bit_generator.state = s

@@ -44,3 +44,30 @@ def test_checkpoint_resume_nngp(tmp_path):
                                   early_stop=4)
     assert out_res["k"] == out_full["k"]
     np.testing.assert_allclose(out_res["u"], out_full["u"], rtol=1e-9)
+
+
+def test_ckpt_rng_stream_continues():
+    """Resumed runs must continue the restart-draw stream where the
+    interrupted run left it — the reference's resume pickles the model's
+    np Generators (models.py:262-270); ours snapshots bit_generator state
+    into the checkpoint (ModelBase.get_ckpt_state)."""
+    from nngparareal_tpu.models.nngp import NNGParareal
+
+    m1 = NNGParareal(n=2, N=8, nn=5, seed=7)
+    m1.rng.integers(-8, 0, size=3)  # advance the stream
+    st = m1.get_ckpt_state()
+    want = m1.rng.integers(-8, 0, size=5)
+
+    m2 = NNGParareal(n=2, N=8, nn=5, seed=7)
+    m2.set_ckpt_state(st)
+    np.testing.assert_array_equal(m2.rng.integers(-8, 0, size=5), want)
+
+    # legacy checkpoint without rng_state: falls back to re-seeding
+    st2 = {k: v for k, v in st.items() if k != "rng_state"}
+    m3 = NNGParareal(n=2, N=8, nn=5, seed=7)
+    m3.rng.integers(-8, 0, size=4)
+    m3.set_ckpt_state(st2)
+    np.testing.assert_array_equal(
+        m3.rng.integers(-8, 0, size=3),
+        np.random.default_rng(7).integers(-8, 0, size=3),
+    )
