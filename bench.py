@@ -35,19 +35,13 @@ LAST_RECORDED = {"value": 516.0, "runtime_s": 11.4, "K": 12}
 
 
 def _chip_healthy(timeout_s=300):
-    """Bounded health probe in a subprocess: a hung backend init cannot be
-    interrupted in-process (jax.devices() blocks in C++), so probe from
-    outside and only start the real benchmark on a green chip."""
-    import subprocess
+    """Bounded health probe in a subprocess (see utils/chip.py): a hung
+    backend init cannot be interrupted in-process, and the probe must also
+    verify the answering backend is not a silent CPU fallback — otherwise
+    a CPU run would be published as an on-chip number."""
+    from nngparareal_tpu.utils.chip import chip_healthy
 
-    probe = ("import jax, jax.numpy as jnp;"
-             "print(float((jnp.ones((8,128))*2.0).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except Exception:
-        return False
+    return chip_healthy(timeout_s)
 
 
 def main():
@@ -126,9 +120,13 @@ def main():
         t0s = jnp.full(bm, 0.0)
         t1s = jnp.full(bm, T / N)
         U = jnp.tile(jnp.asarray(ode.get_init_cond()), (bm, 1))
-        jax.block_until_ready(s64.run_F_batch(t0s, t1s, U))  # compile
+        # sync via host fetch, not block_until_ready: through the axon
+        # relay block_until_ready has returned ~0s for some executables
+        # (the round-2 microbench anomaly) — a device->host transfer is
+        # the one sync the relay cannot elide
+        np.asarray(s64.run_F_batch(t0s, t1s, U))  # compile + warm
         t0 = _time.perf_counter()
-        jax.block_until_ready(s64.run_F_batch(t0s, t1s, U))
+        np.asarray(s64.run_F_batch(t0s, t1s, U))
         f64_serial_est = (_time.perf_counter() - t0) * N
 
     info = {

@@ -189,6 +189,20 @@ class Parareal:
         """(t0s, t1s, U) -> F-endpoints for all N slices."""
         solver = self.solver
         if mesh is None:
+            inner = getattr(solver, "_fine_batch", None)
+            if getattr(inner, "paged", False):
+                # propagate the paged contract through the bound-method
+                # wrapper so the AOT cache keeps page-bounded dispatches
+                fan = solver.run_F_batch
+
+                def fanout_paged(t0s, t1s, U):
+                    return fan(t0s, t1s, U)
+
+                fanout_paged.paged = True
+                fanout_paged.warm = lambda t0s, t1s, U: inner.warm(
+                    jnp.asarray(t0s), jnp.asarray(t1s), jnp.asarray(U)
+                )
+                return fanout_paged
             return solver.run_F_batch
 
         f, F, Nf = solver.f, solver.F, solver.Nf
@@ -526,12 +540,27 @@ class Parareal:
             c = fan_compiled.get(B)
             if c is None:
                 tic = time.perf_counter()
-                try:
-                    jf = fanout if hasattr(fanout, "lower") else jax.jit(fanout)
-                    c = _aot_caller(jf, args)
-                except Exception:
-                    # non-jittable backend (e.g. ScipySolver host loop)
+                if getattr(fanout, "paged", False):
+                    # paged host loop: jitting it would fuse every page
+                    # into ONE huge executable — voiding the bounded-
+                    # dispatch contract (ops/rk.py) and producing exactly
+                    # the long single executable that kernel-faults the
+                    # axon worker. Build the page executables via warm
+                    # instead (the page execution is booked as compile —
+                    # approximate, like NNGP_TPU_NO_AOT).
+                    w = getattr(fanout, "warm", None)
+                    if w is not None:
+                        out = w(*args)
+                        np.asarray(jax.tree_util.tree_leaves(out)[0])
                     c = fanout
+                else:
+                    try:
+                        jf = (fanout if hasattr(fanout, "lower")
+                              else jax.jit(fanout))
+                        c = _aot_caller(jf, args)
+                    except Exception:
+                        # non-jittable backend (e.g. ScipySolver host loop)
+                        c = fanout
                 fan_compiled[B] = c
                 if book:
                     lazy_compile_t += time.perf_counter() - tic
@@ -738,10 +767,14 @@ class Parareal:
             tic = time.perf_counter()
             try:
                 u_next, uG_next, err_dev = _block(sweep_exec(*sweep_args))
-            except Exception:
+            except (TypeError, ValueError):
+                # aval/sharding drift under an unchanged (capacity,
+                # signature) key — a Compiled executable rejects such
+                # calls with TypeError/ValueError. Anything else (device
+                # faults, UNAVAILABLE, OOM) must propagate, not trigger a
+                # silent recompile against a possibly-wedged chip.
                 if sweep_exec is sweep:
                     raise
-                # aval drift under an unchanged (capacity, signature) key —
                 # recompile via the jitted path and refresh the cache
                 tic_c = time.perf_counter()
                 sweep_compiled[sweep_key] = _aot_caller(sweep, sweep_args)

@@ -93,7 +93,7 @@ def run_hopf(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
 
 
 def run_tomlab(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
-               store_int=False, nngp_kw=None):
+               store_int=False, nngp_kw=None, gp_kw=None):
     """Thomas labyrinth scalability (reference TomLab.py:72-116)."""
     ode = ThomasLabyrinth(normalization="-11")
     cfg = Config(ode, N=N).get()
@@ -102,7 +102,7 @@ def run_tomlab(N, models=MODELS_DEFAULT, results_dir="results", mesh=None,
     )
     p = Parareal(ode, solver, cfg["tspan"], N, epsilon=5e-7)
     model_kwargs = {
-        "gpjax": dict(fatol=1e-1, xatol=1e-1),
+        "gpjax": dict(fatol=1e-1, xatol=1e-1, **(gp_kw or {})),
         "nngp": dict(nn=18, n_restarts=1, fatol=1e-3, xatol=1e-3, seed=45),
     }
     return _run_models(
@@ -167,7 +167,9 @@ def _run_table2_system(task, mesh=None):
     backend: a single TPU chip cannot be shared between processes, and the
     reference's experiment-level pool was likewise CPU workers
     (Table_2.py:46)."""
-    idx, epsilon, models, in_worker = task
+    idx, epsilon, models, in_worker, gp_kw = (
+        task if len(task) == 5 else (*task, None)
+    )
     if in_worker:
         import jax
 
@@ -183,7 +185,7 @@ def _run_table2_system(task, mesh=None):
     p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=epsilon)
     model_kwargs = {
         "nngp": dict(nn=nn),
-        "gpjax": dict(fatol=1e-6, xatol=1e-6),
+        "gpjax": dict(fatol=1e-6, xatol=1e-6, **(gp_kw or {})),
     }
     sys_rows = _run_models(p, model_kwargs, models, None, "", mesh=mesh)
     return {"system": ode.name, "epsilon": epsilon, "nn": nn,
@@ -191,7 +193,7 @@ def _run_table2_system(task, mesh=None):
 
 
 def run_table2(epsilon=5e-7, models=MODELS_DEFAULT, results_dir="results",
-               mesh=None, systems=None, pool=None):
+               mesh=None, systems=None, pool=None, gp_kw=None):
     """Iterations-to-convergence across 6 ODE systems (Table_2.py:24-47).
 
     ``systems``: optional subset of system names (e.g. ["FHN_ODE"]).
@@ -210,7 +212,7 @@ def run_table2(epsilon=5e-7, models=MODELS_DEFAULT, results_dir="results",
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
-        tasks = [(i, epsilon, tuple(models), True) for i in sel]
+        tasks = [(i, epsilon, tuple(models), True, gp_kw) for i in sel]
         with ProcessPoolExecutor(
             max_workers=pool, mp_context=mp.get_context("spawn")
         ) as ex:
@@ -220,7 +222,7 @@ def run_table2(epsilon=5e-7, models=MODELS_DEFAULT, results_dir="results",
         return rows
     rows = []
     for i in sel:
-        row = _run_table2_system((i, epsilon, tuple(models), False),
+        row = _run_table2_system((i, epsilon, tuple(models), False, gp_kw),
                                  mesh=mesh)
         rows.append(row)
         if results_dir:
@@ -305,7 +307,7 @@ def main(argv=None):
                         mesh, nngp_kw=nngp_kw, gp_kw=gp_kw)
     elif args.experiment == "tomlab":
         rows = run_tomlab(args.N or 32, tuple(args.models), args.results_dir,
-                          mesh, nngp_kw=nngp_kw)
+                          mesh, nngp_kw=nngp_kw, gp_kw=gp_kw)
     elif args.experiment == "burgers":
         rows = run_burgers(args.T, args.N or 128, tuple(args.models),
                            args.results_dir, mesh, nngp_kw=nngp_kw)
@@ -314,7 +316,8 @@ def main(argv=None):
                            args.results_dir, mesh, nngp_kw=nngp_kw)
     elif args.experiment == "table2":
         rows = run_table2(args.epsilon, tuple(args.models), args.results_dir,
-                          mesh, systems=args.systems, pool=args.pool)
+                          mesh, systems=args.systems, pool=args.pool,
+                          gp_kw=gp_kw)
     else:
         rows = run_burgers_across_m(T=args.T, results_dir=args.results_dir,
                                     mesh=mesh)

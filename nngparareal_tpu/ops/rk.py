@@ -237,6 +237,22 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
             u = dispatch(t0s + (n_full * thresh) * dts, dts, u, rem)
         return u
 
+    # the paged host loop must NOT be wrapped in an outer jit: tracing it
+    # fuses every page into one executable, voiding the bounded-dispatch
+    # contract paging exists for (and producing exactly the huge single
+    # executable that kernel-faults the axon TPU worker). The driver
+    # checks .paged and calls .warm instead of AOT-compiling — warm
+    # executes one page of each distinct chunk size so the page
+    # executables are built outside the timed loop.
+    def warm(t0s, t1s, U):
+        dts = (t1s - t0s) / steps
+        u = dispatch(t0s, dts, U, thresh)
+        if rem:
+            u = dispatch(t0s, dts, u, rem)
+        return u
+
+    run_paged.paged = True
+    run_paged.warm = warm
     return run_paged
 
 

@@ -177,6 +177,21 @@ def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
             done += n
         return ds32.ds_to_f64(Uh, Ul)
 
+    if steps > thresh:
+        # paged: keep page-bounded dispatches — see ops/rk.py run_paged.
+        # warm builds each distinct chunk-size executable once.
+        def warm(t0s, t1s, U):
+            dts = (t1s - t0s) / steps
+            Uh, Ul = ds32.ds_from_f64(U)
+            sizes = {thresh}
+            if steps % thresh:
+                sizes.add(steps % thresh)
+            for n in sorted(sizes):
+                Uh, Ul = dispatch(t0s, dts, Uh, Ul, n)
+            return ds32.ds_to_f64(Uh, Ul)
+
+        run.paged = True
+        run.warm = warm
     return run
 
 

@@ -106,11 +106,29 @@ def main():
     if "cap_iters" in opts:
         run_kw["cap_iters"] = int(opts["cap_iters"])
 
-    int_dir = f"results/ckpt/{sysname}_{N}_{mdl_tag}_{eps:g}"
+    # checkpoint namespace includes every run-shaping option, so runs with
+    # different solver/model configs (nf_mul, fine, nn, ...) can never
+    # silently resume each other's trajectories; tag= separates backends
+    base_dir = f"results/ckpt/{sysname}_{N}_{mdl_tag}_{eps:g}"
+    shaped = {k: v for k, v in opts.items() if k != "tag"}
+    int_dir = base_dir
+    if shaped:
+        int_dir += "__" + "_".join(
+            f"{k}-{v}" for k, v in sorted(shaped.items())
+        )
     if "tag" in opts:  # separate checkpoint namespace (e.g. cpu vs tpu)
         int_dir += f"_{opts['tag']}"
     os.makedirs(int_dir, exist_ok=True)
     ckpts = glob.glob(os.path.join(int_dir, "*", "*_int_*"))
+    if not ckpts and shaped:
+        # pre-namespace-change checkpoints live under the unsuffixed dir;
+        # adopt them once (new checkpoints land in the suffixed dir)
+        legacy = base_dir + (f"_{opts['tag']}" if "tag" in opts else "")
+        lck = glob.glob(os.path.join(legacy, "*", "*_int_*"))
+        if lck:
+            print(f"note: resuming from legacy checkpoint dir {legacy}",
+                  flush=True)
+            ckpts = lck
     t0 = time.time()
     if ckpts:
         latest = max(ckpts, key=lambda s: int(s.rsplit("_", 1)[-1]))

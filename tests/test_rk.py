@@ -134,3 +134,51 @@ def test_packed_matches_transposed():
             np.asarray(fan_t(t0s, t1s, u0s)),
             rtol=1e-13, atol=1e-14,
         )
+
+
+def test_batched_paged_contract():
+    """Paged batched fan-outs must expose the paged/warm contract the
+    driver uses to keep one bounded device dispatch per page (jitting the
+    page loop would fuse all pages into one executable)."""
+    from nngparareal_tpu.systems import Lorenz
+    from nngparareal_tpu.ops.rk import make_batched_last_integrator
+    from nngparareal_tpu.ops.rk_ds import make_batched_last_integrator_ds
+    from nngparareal_tpu.ops.ds_lift import ds_lift
+
+    ode = Lorenz(normalization="-11")
+    fv = ode.get_vector_field()
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 3)))
+    t0s = jnp.zeros(4)
+    t1s = jnp.full(4, 0.05)
+
+    paged = make_batched_last_integrator(fv, "RK4", 300, thresh=128)
+    flat = make_batched_last_integrator(fv, "RK4", 300, thresh=10**9)
+    assert getattr(paged, "paged", False) and not getattr(flat, "paged", False)
+    np.testing.assert_allclose(np.asarray(paged(t0s, t1s, U)),
+                               np.asarray(flat(t0s, t1s, U)), rtol=1e-12)
+    # warm runs one page of each distinct chunk size without error
+    paged.warm(t0s, t1s, U)
+
+    f_ds = ds_lift(fv)
+    paged_ds = make_batched_last_integrator_ds(f_ds, "RK4", 300, thresh=128)
+    flat_ds = make_batched_last_integrator_ds(f_ds, "RK4", 300, thresh=10**9)
+    assert getattr(paged_ds, "paged", False)
+    assert not getattr(flat_ds, "paged", False)
+    np.testing.assert_allclose(np.asarray(paged_ds(t0s, t1s, U)),
+                               np.asarray(flat_ds(t0s, t1s, U)), rtol=1e-10)
+    paged_ds.warm(t0s, t1s, U)
+
+    # end-to-end through the driver: a paged solver run must match the
+    # unpaged one (the fan-out stays a host page loop under the AOT cache)
+    from nngparareal_tpu import Config, RKSolver, Parareal
+
+    cfg = dict(Ng=4, Nf=300, G="RK2", F="RK4")
+    outs = []
+    for th in (128, 10**9):
+        s = RKSolver(fv, cfg["Ng"], cfg["Nf"], G=cfg["G"], F=cfg["F"],
+                     thresh=th)
+        p = Parareal(ode, s, [0, 2], 8, epsilon=5e-7, verbose=None)
+        outs.append(p.run(model="parareal"))
+    assert outs[0]["k"] == outs[1]["k"]
+    np.testing.assert_allclose(outs[0]["u"], outs[1]["u"], rtol=1e-12)
