@@ -23,6 +23,7 @@ from jax import lax
 
 from nngparareal_tpu.models.base import ModelBase
 from nngparareal_tpu.ops import gp as gpops
+from nngparareal_tpu.ops import gp_lanes
 from nngparareal_tpu.ops.optim import nelder_mead_fixed
 
 
@@ -42,6 +43,7 @@ class GParareal(ModelBase):
         optimizer="nm",
         grid_chunk=None,
         grid_task_chunk=None,
+        score_lanes=False,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -87,6 +89,12 @@ class GParareal(ModelBase):
         # 18 x 256^2 safe envelope; see fit_grid docstring)
         self.grid_task_chunk = (None if grid_task_chunk is None
                                 else int(grid_task_chunk))
+        # score_lanes=True routes the grid NLL scoring through the
+        # blocked lane-major Cholesky (ops/gp_lanes.nll_lanes_big):
+        # candidate batch in the VPU lane axis instead of one row-major
+        # XLA cholesky per candidate. Opt-in pending the on-chip
+        # crossover measurement (scripts/gp_chol_bench.py).
+        self.score_lanes = bool(score_lanes)
 
     # --- jitted helpers, cached per dataset capacity ---
 
@@ -201,10 +209,18 @@ class GParareal(ModelBase):
                     [g_s, jnp.ones((g_s.shape[0], pad, 2), g_s.dtype)], 1
                 )
 
+            use_lanes = self.score_lanes
+
             def task_fn(args):
                 g, y, j = args  # (Gp, 2), (CAP,), ()
 
                 def chunk_fn(gc):  # (chunk, 2)
+                    if use_lanes:
+                        jb = jnp.broadcast_to(j, (gc.shape[0],))
+                        return gp_lanes.nll_lanes_big(
+                            sqd_s, y[:, None], gc, jb, v_s,
+                            kernel=gp_lanes.k_se_linear_lanes,
+                        )[0]
                     return jax.vmap(
                         lambda t: gpops.nll_from_sqd(
                             sqd_s, y, t, j, v_s, gpops.k_se_linear

@@ -28,6 +28,18 @@ def k_se_log10_lanes(sqd, theta):
     return 10.0 ** sy * jnp.exp(-0.5 * (10.0 ** (-sx)) * sqd[:, :, None])
 
 
+def k_se_linear_lanes(sqd, theta):
+    """Linear-parameterisation SE kernel (the full-GP / GParareal kernel,
+    reference models.py:303-307) for B candidate thetas at once.
+
+    sqd: (m, m) shared squared distances; theta: (B, 2) linear scale.
+    Returns (m, m, B).
+    """
+    sx = theta[:, 0]
+    sy = theta[:, 1]
+    return (sy ** 2) * jnp.exp(-0.5 * sqd[:, :, None] / (sx ** 2))
+
+
 def masked_gram_lanes(K, mask, jitter_pow):
     """Masked Gram + jitter, lanes layout: K (m, m, B), mask (m,),
     jitter_pow (B,). Padded rows/cols become identity."""
@@ -71,6 +83,142 @@ def cholesky_lanes(A, pivot_floor=None):
             col = jnp.where(keep, col, 0.0)
         cols.append(col)
     return jnp.stack(cols, axis=1)  # (m, m, B)
+
+
+def cholesky_lanes_blocked(A, block=16, pivot_floor=None):
+    """Blocked lane-major Cholesky of A (m, m, B).
+
+    The column-unrolled ``cholesky_lanes`` emits an O(m^2)-size graph
+    (every column stacks all prior columns), which caps its practical m
+    near ~48 (ops/gp.py _SMALL_M) by trace/compile cost, not execution
+    cost. This right-looking blocked variant keeps the lane layout (task
+    batch B in the last axis, every op (*, B)-wide on the VPU) while the
+    graph grows only O((m/block)^2): per block column it unrolls a
+    ``block``-step diagonal factorisation, a ``block``-step panel
+    triangular solve, and ONE einsum trailing update. That extends the
+    lane-major path to the full-GP Gram sizes (hundreds of rows) the
+    round-2 review flagged as falling back to row-major XLA cholesky.
+
+    ``pivot_floor`` is applied inside the diagonal blocks exactly as in
+    ``cholesky_lanes`` (clamp vs the ORIGINAL diagonal of A).
+    """
+    m, _, B = A.shape
+    b = min(block, m)
+    nb = -(-m // b)
+    mp = nb * b
+    diagA = jnp.stack([A[j, j, :] for j in range(m)], axis=0)  # (m, B)
+    if mp != m:
+        # pad to a whole number of blocks with identity rows/cols: the
+        # padded block factors to I and contributes nothing to real rows
+        pad = mp - m
+        A = jnp.concatenate([A, jnp.zeros((pad, m, B), A.dtype)], axis=0)
+        eye_pad = jnp.zeros((mp, pad, B), A.dtype)
+        eye_pad = eye_pad.at[jnp.arange(m, mp), jnp.arange(pad), :].set(1.0)
+        A = jnp.concatenate([A, eye_pad], axis=1)
+        diagA = jnp.concatenate([diagA, jnp.ones((pad, B), A.dtype)], axis=0)
+
+    L = jnp.zeros_like(A)
+    for J in range(nb):
+        lo, hi = J * b, (J + 1) * b
+        S = A[lo:hi, lo:hi, :]  # (b, b, B) current diagonal block
+
+        # unrolled dense factorisation of the diagonal block
+        cols = []
+        for j in range(b):
+            s = S[:, j, :]
+            if j:
+                prior = jnp.stack(cols, axis=0)  # (j, b, B)
+                Lj = prior[:, j, :]
+                s = s - jnp.sum(prior * Lj[:, None, :], axis=0)
+            sj = s[j]
+            if pivot_floor is not None:
+                sj = jnp.maximum(sj, pivot_floor * diagA[lo + j, :])
+            d = jnp.sqrt(sj)
+            col = s / d[None, :]
+            col = col.at[j, :].set(d)
+            if j:
+                keep = (jnp.arange(b) >= j)[:, None]
+                col = jnp.where(keep, col, 0.0)
+            cols.append(col)
+        Ljj = jnp.stack(cols, axis=1)  # (b, b, B)
+        L = L.at[lo:hi, lo:hi, :].set(Ljj)
+
+        if hi == mp:
+            break
+        # panel solve: P = A[hi:, lo:hi] @ Ljj^-T, column by column
+        Apan = A[hi:, lo:hi, :]  # (r, b, B)
+        pcols = []
+        for j in range(b):
+            acc = Apan[:, j, :]
+            for t in range(j):
+                acc = acc - pcols[t] * Ljj[j, t, :][None, :]
+            pcols.append(acc / Ljj[j, j, :][None, :])
+        P = jnp.stack(pcols, axis=1)  # (r, b, B)
+        L = L.at[hi:, lo:hi, :].set(P)
+
+        # trailing update: A[hi:, hi:] -= P P^T (one batched contraction)
+        upd = jnp.einsum("ikb,jkb->ijb", P, P)
+        A = A.at[hi:, hi:, :].add(-upd)
+    return L[:m, :m, :]
+
+
+def solve_lower_lanes_blocked(L, Y, block=16):
+    """Blocked forward substitution: L Z = Y with L (m, m, B) lower,
+    Y (m, r, B). Same O((m/block)^2) graph-size rationale as
+    ``cholesky_lanes_blocked``."""
+    m = L.shape[0]
+    b = min(block, m)
+    nb = -(-m // b)
+    zs = []  # per-block solved chunks, (b_or_less, r, B)
+    for J in range(nb):
+        lo, hi = J * b, min((J + 1) * b, m)
+        acc = Y[lo:hi]
+        if J:
+            Zprev = jnp.concatenate(zs, axis=0)  # (lo, r, B)
+            Lrow = L[lo:hi, :lo, :]  # (bJ, lo, B)
+            acc = acc - jnp.einsum("ikb,krb->irb", Lrow, Zprev)
+        # unrolled substitution inside the block
+        rows = []
+        for j in range(hi - lo):
+            a = acc[j]
+            for t in range(j):
+                a = a - rows[t] * L[lo + j, lo + t, :][None, :]
+            rows.append(a / L[lo + j, lo + j, :][None, :])
+        zs.append(jnp.stack(rows, axis=0))
+    return jnp.concatenate(zs, axis=0)
+
+
+# unrolled-graph size is the binding constraint for the plain lanes
+# kernels; above this m the blocked variants take over automatically
+_LANES_UNROLL_M = 48
+
+
+def nll_lanes_big(sqd, Y, theta, jitter_pow, mask, kernel=k_se_log10_lanes,
+                  dtype=None, pivot_floor=None, block=16):
+    """Masked GP NLL for B candidates at Gram sizes past the unrolled
+    kernels' practical limit: same contract as ``nll_lanes`` but built on
+    the blocked lane-major Cholesky/substitution."""
+    if dtype is not None:
+        sqd = sqd.astype(dtype)
+        Y = Y.astype(dtype)
+        theta = theta.astype(dtype)
+        jitter_pow = jitter_pow.astype(dtype)
+        mask = mask.astype(dtype)
+    K = kernel(sqd, theta)
+    Kj = masked_gram_lanes(K, mask, jitter_pow)
+    L = cholesky_lanes_blocked(Kj, block=block, pivot_floor=pivot_floor)
+    if Y.ndim == 2:
+        Ym = (Y * mask[:, None])[:, :, None]
+    else:
+        Ym = Y * mask[:, None, None]
+    Z = solve_lower_lanes_blocked(L, Ym, block=block)
+    quad = 0.5 * jnp.sum(Z * Z, axis=0)
+    diag = jnp.stack([L[j, j] for j in range(L.shape[0])], axis=0)
+    logdet = jnp.sum(jnp.where(mask[:, None] > 0, jnp.log(diag), 0.0), axis=0)
+    count = jnp.sum(mask)
+    nll = quad + logdet[None, :] + 0.5 * count * _LOG_2PI
+    nll = nll.astype(jnp.promote_types(nll.dtype, jnp.float64))
+    return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
 
 
 def solve_lower_lanes(L, Y):

@@ -133,8 +133,18 @@ def main():
     if ckpts:
         latest = max(ckpts, key=lambda s: int(s.rsplit("_", 1)[-1]))
         print(f"resuming from {latest}", flush=True)
-        out = p.load_int_dump(latest, model=model, store_int=True,
-                              int_dir=int_dir, **run_kw)
+        try:
+            out = p.load_int_dump(latest, model=model, store_int=True,
+                                  int_dir=int_dir, **run_kw)
+        except Exception as e:
+            if "already converged" in str(e):
+                # the run finished in a previous attempt (its result row
+                # was appended then); nothing left to do — exit 0 so the
+                # outer retry loop moves on instead of burning attempts
+                print(f"checkpoint {latest} is already converged; done",
+                      flush=True)
+                return
+            raise
         attempts = len(ckpts)  # rough proxy: one line per stored iteration
     else:
         out = p.run(model=model, store_int=True, int_dir=int_dir, **run_kw)
