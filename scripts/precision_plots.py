@@ -46,7 +46,11 @@ OUT = "results/precision_plots_runs.json"
 
 def main():
     names = sys.argv[1:] or list(SYSTEMS)
+    # resume: keep rows from systems not being (re)run
     rows = []
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            rows = [r for r in json.load(fh) if r["system"] not in names]
     for name in names:
         ctor, nn = SYSTEMS[name]
         ode = ctor(normalization="-11")
