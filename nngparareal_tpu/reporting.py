@@ -305,21 +305,13 @@ def plot_all_err(p, key):
     return figs
 
 
-def plot_parareal_mechanics(n_iters=3, N=10, path=None):
-    """Static equivalent of the reference's Figure-1 animation
-    (Figure_1.py:17-285): the parareal mechanics on the paper's toy 1D
-    ODE du/dt = -0.3 (t-5) u (a Gaussian-bump solution).
-
-    One panel per iteration k = 0..n_iters-1: the converged prefix, the
-    per-slice fine propagations F(u_i^k) from the current iterates, the
-    sequential coarse predictions, and the exact fine solution. Returns
-    the matplotlib figure; stores png+pdf via store_fig when ``path`` is
-    given.
-    """
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+def _mechanics_data(n_iters, N):
+    """Shared data prep for the Figure-1 mechanics figure/animation: runs
+    plain Parareal with history on the paper's toy 1D ODE
+    du/dt = -0.3 (t-5) u and precomputes the exact fine solution plus every
+    per-slice fine trajectory F(u_i^k). Returns
+    (t, hist, t_fine_grid, u_exact, fine_segs) where fine_segs[k][i] is
+    (ts, traj) for slice i at iteration k."""
     import jax.numpy as jnp
 
     from nngparareal_tpu.systems.base import ODE
@@ -344,13 +336,42 @@ def plot_parareal_mechanics(n_iters=3, N=10, path=None):
     hist = out["u_hist"]  # (N+1, n, k+1)
     t = out["t"]
 
-    t_dense = np.linspace(*tspan, 400)
     u_exact = np.asarray(
         solver.run_F_full(tspan[0], tspan[1], jnp.asarray([0.1]))
     )
     t_fine_grid = np.linspace(tspan[0], tspan[1], u_exact.shape[0])
 
     k_show = min(n_iters, hist.shape[2])
+    fine_segs = []
+    for k in range(k_show):
+        segs = []
+        for i in range(N):
+            traj = np.asarray(
+                solver.run_F_full(t[i], t[i + 1], jnp.asarray(hist[i, :, k]))
+            )
+            segs.append((np.linspace(t[i], t[i + 1], traj.shape[0]), traj))
+        fine_segs.append(segs)
+    return t, hist, t_fine_grid, u_exact, fine_segs
+
+
+def plot_parareal_mechanics(n_iters=3, N=10, path=None):
+    """Static equivalent of the reference's Figure-1 animation
+    (Figure_1.py:17-285): the parareal mechanics on the paper's toy 1D
+    ODE du/dt = -0.3 (t-5) u (a Gaussian-bump solution).
+
+    One panel per iteration k = 0..n_iters-1: the converged prefix, the
+    per-slice fine propagations F(u_i^k) from the current iterates, the
+    sequential coarse predictions, and the exact fine solution. Returns
+    the matplotlib figure; stores png+pdf via store_fig when ``path`` is
+    given.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t, hist, t_fine_grid, u_exact, fine_segs = _mechanics_data(n_iters, N)
+    k_show = len(fine_segs)
     fig, axes = plt.subplots(1, k_show, figsize=(4.2 * k_show, 3.4),
                              sharey=True)
     if k_show == 1:
@@ -359,11 +380,7 @@ def plot_parareal_mechanics(n_iters=3, N=10, path=None):
         ax.plot(t_fine_grid, u_exact[:, 0], "k-", lw=1,
                 label="fine solution", alpha=0.6)
         # per-slice fine propagations from iteration k's iterates
-        for i in range(N):
-            traj = np.asarray(
-                solver.run_F_full(t[i], t[i + 1], jnp.asarray(hist[i, :, k]))
-            )
-            ts = np.linspace(t[i], t[i + 1], traj.shape[0])
+        for i, (ts, traj) in enumerate(fine_segs[k]):
             ax.plot(ts, traj[:, 0], "C0-", lw=1.6,
                     label="F(u_i^k)" if i == 0 else None)
         ax.plot(t, hist[:, 0, k], "C3o", ms=5, label="iterates u^k")
@@ -381,3 +398,70 @@ def plot_parareal_mechanics(n_iters=3, N=10, path=None):
 
         store_fig(fig, path)
     return fig
+
+
+def animate_parareal_mechanics(path, n_iters=3, N=10, fps=2):
+    """Animated equivalent of the reference's Figure-1
+    (Figure_1.py:340-718): one GIF where each iteration's per-slice fine
+    propagations F(u_i^k) appear one slice at a time (the reference
+    animates exactly this fan-out), followed by a frame showing the
+    corrector-updated iterates u^{k+1}. Writes ``img/{path}.gif`` and
+    returns the file path."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    t, hist, t_fine_grid, u_exact, fine_segs = _mechanics_data(n_iters, N)
+    k_show = len(fine_segs)
+
+    fig, ax = plt.subplots(figsize=(6.4, 4.2))
+    ax.plot(t_fine_grid, u_exact[:, 0], "k-", lw=1, alpha=0.6,
+            label="fine solution")
+    ax.set_xlabel("t")
+    ax.set_ylabel("u")
+    ax.set_ylim(float(u_exact.min()) - 0.1 * float(np.ptp(u_exact)),
+                float(u_exact.max()) + 0.25 * float(np.ptp(u_exact)))
+    title = ax.set_title("")
+    iter_dots, = ax.plot([], [], "C3o", ms=6, label="iterates $u^k$")
+    upd_dots, = ax.plot([], [], "C2s", ms=4.5, label="updated $u^{k+1}$")
+    seg_lines = [ax.plot([], [], "C0-", lw=1.6,
+                         label="$F(u_i^k)$" if i == 0 else None)[0]
+                 for i in range(N)]
+    ax.legend(fontsize=8, loc="upper left")
+    fig.tight_layout()
+    fig.subplots_adjust(top=0.92)  # keep the per-frame title visible
+
+    # frame layout: per iteration k -> N slice-reveal frames + 1 update frame
+    per_k = N + 1
+
+    def draw(frame):
+        k, step = divmod(frame, per_k)
+        k = min(k, k_show - 1)
+        iter_dots.set_data(t, hist[:, 0, k])
+        if step < N:  # revealing fine propagations slice by slice
+            upd_dots.set_data([], [])
+            for i, line in enumerate(seg_lines):
+                if i <= step:
+                    ts, traj = fine_segs[k][i]
+                    line.set_data(ts, traj[:, 0])
+                else:
+                    line.set_data([], [])
+            title.set_text(f"iteration k={k}: fine fan-out, "
+                           f"slice {step + 1}/{N}")
+        else:  # the predictor-corrector update
+            if k + 1 < hist.shape[2]:
+                upd_dots.set_data(t, hist[:, 0, k + 1])
+            title.set_text(f"iteration k={k}: corrector update "
+                           r"$u^{k+1}$")
+        return [iter_dots, upd_dots, title, *seg_lines]
+
+    anim = FuncAnimation(fig, draw, frames=k_show * per_k, blit=False)
+    os.makedirs("img", exist_ok=True)
+    out = os.path.join("img", f"{path}.gif")
+    anim.save(out, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return out

@@ -32,14 +32,15 @@ from nngparareal_tpu import (  # noqa: E402
 from nngparareal_tpu.reporting import plot_run  # noqa: E402
 from nngparareal_tpu.utils.io import store_fig  # noqa: E402
 
-# (ctor, nn at 5e-7) — reference Table_2.py:42-44
+# (ctor, nn at 5e-7, Config N override) — reference Table_2.py:42-44;
+# Hopf's config is N-dependent (reference configs.py:35-46), N=32 in Table 2
 SYSTEMS = {
-    "FHN_ODE": (FHNODE, 15),
-    "Rossler": (Rossler, 15),
-    "Hopf": (Hopf, 15),
-    "Brusselator": (Brusselator, 14),
-    "Lorenz": (Lorenz, 14),
-    "DblPend": (DblPend, 15),
+    "FHN_ODE": (FHNODE, 15, None),
+    "Rossler": (Rossler, 15, None),
+    "Hopf": (Hopf, 15, 32),
+    "Brusselator": (Brusselator, 14, None),
+    "Lorenz": (Lorenz, 14, None),
+    "DblPend": (DblPend, 15, None),
 }
 OUT = "results/precision_plots_runs.json"
 
@@ -52,9 +53,9 @@ def main():
         with open(OUT) as fh:
             rows = [r for r in json.load(fh) if r["system"] not in names]
     for name in names:
-        ctor, nn = SYSTEMS[name]
+        ctor, nn, Narg = SYSTEMS[name]
         ode = ctor(normalization="-11")
-        cfg = Config(ode).get()
+        cfg = Config(ode, N=Narg).get() if Narg else Config(ode).get()
         solver = RKSolver(ode.get_vector_field(), cfg["Ng"], cfg["Nf"],
                           G=cfg["G"], F=cfg["F"])
         p = Parareal(ode, solver, cfg["tspan"], cfg["N"], epsilon=5e-7,

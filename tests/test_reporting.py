@@ -93,6 +93,21 @@ def test_parareal_mechanics_figure(tmp_path):
     assert len(fig.axes) == 2
 
 
+def test_parareal_mechanics_animation(tmp_path, monkeypatch):
+    """Animated Figure-1 equivalent (reference Figure_1.py:340-718):
+    writes a playable GIF."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from nngparareal_tpu.reporting import animate_parareal_mechanics
+
+    monkeypatch.chdir(tmp_path)
+    out = animate_parareal_mechanics("mech_anim", n_iters=1, N=4)
+    import os
+
+    assert os.path.getsize(out) > 1000
+
+
 def test_timing_detail_both_sweep_modes():
     """VERDICT r2 weak-6: the default scan sweep must not report silent
     zeros for serial_train_time/avg_serial_train_time — it estimates them
