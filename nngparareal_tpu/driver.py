@@ -159,7 +159,11 @@ class Parareal:
             for bad in ("nn", "posterior", "grid_refine", "grid_walk", "grid_polish", "strategy",
                         "nn_iters", "reps", "n_restarts"):
                 kw.pop(bad, None)
-            return GParareal(n=self.n, N=self.N, **kw)
+            # run(mesh=...) also shards the GP grid hyperopt's task pool
+            # (the reference trains its full-GP tasks over the same MPI
+            # pool as the fine solves, models.py:386-421)
+            return GParareal(n=self.n, N=self.N, mesh=kwargs.get("mesh"),
+                             **kw)
         if key in ("nngp_time", "nngptime"):
             for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy", "theta"):
                 kw.pop(bad, None)

@@ -44,6 +44,7 @@ class GParareal(ModelBase):
         grid_chunk=None,
         grid_task_chunk=None,
         score_lanes=False,
+        mesh=None,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -95,6 +96,16 @@ class GParareal(ModelBase):
         # XLA cholesky per candidate. Opt-in pending the on-chip
         # crossover measurement (scripts/gp_chol_bench.py).
         self.score_lanes = bool(score_lanes)
+        # mesh: shard the grid hyperopt's (coord x jitter) task pool over
+        # a device mesh — the TPU-native answer to the reference training
+        # its full-GP tasks over the MPI worker pool (models.py:386-421,
+        # the O(k^3 N^3) cost that made its GParareal DNF at scale). Each
+        # device scores grid_task_chunk tasks per call; results gather
+        # implicitly. The fine fan-out's mesh is threaded here by
+        # Parareal.run(mesh=...).
+        self.mesh = mesh if (mesh is not None
+                             and getattr(mesh, "devices", np.empty(0)).size > 1
+                             ) else None
 
     # --- jitted helpers, cached per dataset capacity ---
 
@@ -237,11 +248,27 @@ class GParareal(ModelBase):
             fb = jnp.take_along_axis(f, i[:, None], 1)[:, 0]
             return th, fb
 
+        if self.mesh is not None:
+            # shard the task axis over the mesh: each device scores its
+            # block of (coord x jitter) tasks against the replicated
+            # dataset; no collectives (the caller concatenates on host)
+            from jax.sharding import PartitionSpec as P
+
+            from nngparareal_tpu.parallel.mesh import shard_map
+
+            ax = self.mesh.axis_names[0]
+            fit_grid_exec = jax.jit(shard_map(
+                fit_grid, self.mesh,
+                in_specs=(P(), P(ax), P(), P(ax), P(ax)),
+                out_specs=(P(ax), P(ax)),
+            ))
+        else:
+            fit_grid_exec = jax.jit(fit_grid)
         fns = (
             jax.jit(fit_warm),
             jax.jit(alphas),
             make_obj,
-            jax.jit(fit_grid),
+            fit_grid_exec,
         )
         self._fit_cache[cap] = fns
         return fns
@@ -316,6 +343,10 @@ class GParareal(ModelBase):
         tc = self.grid_task_chunk
         if tc is None:
             tc = max(1, min(T, (18 * 256 * 256) // max(cap * cap, 1)))
+        # with a mesh, each device call carries one tc-block PER DEVICE
+        # (the per-device executable stays inside the proven envelope)
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        tc = tc * int(ndev)
         Tp = -(-T // tc) * tc
         Ycols = np.repeat(np.asarray(dsD).T, nj, axis=0)  # (T, CAP)
         jp_full = np.tile(self._jitters, n)  # (T,)

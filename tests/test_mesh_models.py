@@ -28,6 +28,19 @@ def test_nngp_grid_on_mesh_matches_single_device():
     np.testing.assert_allclose(out_mesh["u"], out_one["u"], rtol=1e-10)
 
 
+def test_gpjax_grid_on_mesh_matches_single_device():
+    """The GParareal grid hyperopt shards its (coord x jitter) task pool
+    over the mesh (reference trains GP tasks over the MPI pool,
+    models.py:386-421); per-task NLL scoring is identical arithmetic on
+    every device, so the mesh run must reproduce the single-device run."""
+    mesh = make_mesh(8)
+    out_mesh = _build().run(model="gpjax", optimizer="grid", mesh=mesh,
+                            early_stop=3)
+    out_one = _build().run(model="gpjax", optimizer="grid", early_stop=3)
+    assert out_mesh["conv_int"] == out_one["conv_int"]
+    np.testing.assert_allclose(out_mesh["u"], out_one["u"], rtol=1e-10)
+
+
 def test_checkpoint_resume_nngp(tmp_path):
     p_full = _build()
     out_full = p_full.run(model="nngp", nn=10, optimizer="grid", early_stop=4)
