@@ -1,10 +1,23 @@
 """Lane-major GP kernels vs the row-major reference ops."""
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nngparareal_tpu.ops import gp as gpops
 from nngparareal_tpu.ops import gp_lanes as gplanes
+
+# The ops are plain functions jitted by their production call sites (the
+# fused sweep); jit them here too — dispatching the unrolled kernels
+# eagerly op-by-op is ~20x slower and is pure suite wall.
+_nll_lanes = jax.jit(gplanes.nll_lanes)
+_post_lanes = jax.jit(gplanes.posterior_mean_lanes)
+_loo_lanes = jax.jit(gplanes.loo_lanes)
+_nll_ref = jax.jit(partial(gpops.nll_from_sqd, kernel=gpops.k_se_log10))
+_post_ref = jax.jit(partial(gpops.predict_mean_from_sqd,
+                            kernel=gpops.k_se_log10))
 
 
 def _setup(m=14, n=5, B=23, pad=4, seed=0):
@@ -23,12 +36,10 @@ def test_nll_lanes_matches_rowmajor():
     # B=9 keeps one full jitter cycle while bounding the per-element
     # row-major comparison loop (suite-wall budget)
     sqd, Y, thetas, jitters, mask = _setup(B=9)
-    got = np.asarray(gplanes.nll_lanes(sqd, Y, thetas, jitters, mask))
+    got = np.asarray(_nll_lanes(sqd, Y, thetas, jitters, mask))
     for b in range(thetas.shape[0]):
         for r in range(Y.shape[1]):
-            want = gpops.nll_from_sqd(
-                sqd, Y[:, r], thetas[b], jitters[b], mask, gpops.k_se_log10
-            )
+            want = _nll_ref(sqd, Y[:, r], thetas[b], jitters[b], mask)
             np.testing.assert_allclose(got[r, b], float(want), rtol=1e-9)
 
 
@@ -38,11 +49,9 @@ def test_nll_lanes_pertask_targets():
     thetas = thetas[:Y_cols]
     jitters = jitters[:Y_cols]
     Yt = Y[:, None, :]  # (m, 1, B): task b gets target column b
-    got = np.asarray(gplanes.nll_lanes(sqd, Yt, thetas, jitters, mask))[0]
+    got = np.asarray(_nll_lanes(sqd, Yt, thetas, jitters, mask))[0]
     for b in range(Y_cols):
-        want = gpops.nll_from_sqd(
-            sqd, Y[:, b], thetas[b], jitters[b], mask, gpops.k_se_log10
-        )
+        want = _nll_ref(sqd, Y[:, b], thetas[b], jitters[b], mask)
         np.testing.assert_allclose(got[b], float(want), rtol=1e-9)
 
 
@@ -55,13 +64,10 @@ def test_posterior_lanes_matches_rowmajor():
     X = rng.normal(size=(14, 3))
     sqd_q = jnp.asarray(((X - np.asarray(q)) ** 2).sum(-1))
     got = np.asarray(
-        gplanes.posterior_mean_lanes(sqd, sqd_q, Y, thetas, jitters, mask)
+        _post_lanes(sqd, sqd_q, Y, thetas, jitters, mask)
     )
     for b in range(5):
-        want = gpops.predict_mean_from_sqd(
-            sqd, sqd_q, Y[:, b], thetas[b], jitters[b], mask,
-            gpops.k_se_log10,
-        )
+        want = _post_ref(sqd, sqd_q, Y[:, b], thetas[b], jitters[b], mask)
         np.testing.assert_allclose(got[b], float(want), rtol=1e-9)
 
 
@@ -69,7 +75,7 @@ def test_loo_lanes_matches_explicit_refits():
     """Closed-form LOO residuals == actually deleting each point and
     refitting (numpy oracle), on the valid rows only."""
     sqd, Y, thetas, jitters, mask = _setup(m=12, n=3, B=4, pad=3, seed=2)
-    got = np.asarray(gplanes.loo_lanes(sqd, Y, thetas, jitters, mask))
+    got = np.asarray(_loo_lanes(sqd, Y, thetas, jitters, mask))
 
     X = None  # distances already given
     sqd_np = np.asarray(sqd)

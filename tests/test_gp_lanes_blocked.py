@@ -6,7 +6,10 @@ full-GP Gram sizes (m in the hundreds), including non-multiple-of-block
 sizes and masked padding rows.
 """
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nngparareal_tpu.ops import gp as gpops
@@ -21,6 +24,19 @@ from nngparareal_tpu.ops.gp_lanes import (
 )
 
 
+# jit the ops under test (their production call sites are jitted sweeps);
+# eager dispatch of the blocked/unrolled kernels is pure suite wall
+_chol_blk16 = jax.jit(partial(cholesky_lanes_blocked, block=16))
+_chol_unrolled = jax.jit(cholesky_lanes)
+_solve_blk16 = jax.jit(partial(solve_lower_lanes_blocked, block=16))
+_nll_big_lin = jax.jit(partial(nll_lanes_big, kernel=k_se_linear_lanes))
+_nll_big_log16 = jax.jit(partial(nll_lanes_big, kernel=k_se_log10_lanes,
+                                 block=16))
+_nll_lanes_log = jax.jit(partial(nll_lanes, kernel=k_se_log10_lanes))
+_gp_nll_ref = jax.jit(gpops.gp_nll)
+_k_lin_ref = jax.jit(gpops.k_se_linear)
+
+
 def _spd(m, B, rng):
     A = rng.normal(size=(B, m, m))
     A = A @ np.swapaxes(A, 1, 2) + m * np.eye(m)
@@ -31,7 +47,7 @@ def test_blocked_cholesky_matches_dense():
     rng = np.random.default_rng(0)
     for m in (5, 16, 48, 96, 130):
         A = _spd(m, 3, rng)
-        L = np.asarray(cholesky_lanes_blocked(jnp.asarray(A), block=16))
+        L = np.asarray(_chol_blk16(jnp.asarray(A)))
         L_ref = np.linalg.cholesky(np.moveaxis(A, -1, 0))
         np.testing.assert_allclose(
             L, np.moveaxis(L_ref, 0, -1), rtol=1e-10, atol=1e-10
@@ -41,8 +57,8 @@ def test_blocked_cholesky_matches_dense():
 def test_blocked_matches_unrolled_small():
     rng = np.random.default_rng(1)
     A = _spd(40, 4, rng)
-    Lb = np.asarray(cholesky_lanes_blocked(jnp.asarray(A), block=16))
-    Lu = np.asarray(cholesky_lanes(jnp.asarray(A)))
+    Lb = np.asarray(_chol_blk16(jnp.asarray(A)))
+    Lu = np.asarray(_chol_unrolled(jnp.asarray(A)))
     np.testing.assert_allclose(Lb, Lu, rtol=1e-12, atol=1e-12)
 
 
@@ -51,8 +67,8 @@ def test_blocked_solve_lower():
     m, r, B = 77, 2, 3
     A = _spd(m, B, rng)
     Y = rng.normal(size=(m, r, B))
-    L = cholesky_lanes_blocked(jnp.asarray(A), block=16)
-    Z = np.asarray(solve_lower_lanes_blocked(L, jnp.asarray(Y), block=16))
+    L = _chol_blk16(jnp.asarray(A))
+    Z = np.asarray(_solve_blk16(L, jnp.asarray(Y)))
     for b in range(B):
         z_ref = np.linalg.solve(
             np.tril(np.asarray(L)[:, :, b]), Y[:, :, b]
@@ -77,17 +93,15 @@ def test_nll_big_matches_rowmajor_masked():
     jit_pow = rng.uniform(-16.0, -8.0, B)
 
     got = np.asarray(
-        nll_lanes_big(
+        _nll_big_lin(
             jnp.asarray(sqd), jnp.asarray(y)[:, None], jnp.asarray(theta),
             jnp.asarray(jit_pow), jnp.asarray(mask),
-            kernel=k_se_linear_lanes,
         )
     )[0]
     for b in range(B):
-        K = np.asarray(gpops.k_se_linear(jnp.asarray(sqd),
-                                         jnp.asarray(theta[b])))
-        ref = float(gpops.gp_nll(jnp.asarray(K), jnp.asarray(y),
-                                 jit_pow[b], jnp.asarray(mask)))
+        K = np.asarray(_k_lin_ref(jnp.asarray(sqd), jnp.asarray(theta[b])))
+        ref = float(_gp_nll_ref(jnp.asarray(K), jnp.asarray(y),
+                                jit_pow[b], jnp.asarray(mask)))
         np.testing.assert_allclose(got[b], ref, rtol=1e-8)
 
 
@@ -101,13 +115,12 @@ def test_nll_big_matches_nll_lanes_small():
     sqd = np.asarray(gpops.pairwise_sq_dists(jnp.asarray(X), jnp.asarray(X)))
     theta = rng.uniform(-2.0, 1.0, (B, 2))
     jit_pow = np.full(B, -12.0)
-    a = np.asarray(nll_lanes(jnp.asarray(sqd), jnp.asarray(y),
-                             jnp.asarray(theta), jnp.asarray(jit_pow),
-                             jnp.asarray(mask), kernel=k_se_log10_lanes))
-    b = np.asarray(nll_lanes_big(jnp.asarray(sqd), jnp.asarray(y),
-                                 jnp.asarray(theta), jnp.asarray(jit_pow),
-                                 jnp.asarray(mask), kernel=k_se_log10_lanes,
-                                 block=16))
+    a = np.asarray(_nll_lanes_log(jnp.asarray(sqd), jnp.asarray(y),
+                                  jnp.asarray(theta), jnp.asarray(jit_pow),
+                                  jnp.asarray(mask)))
+    b = np.asarray(_nll_big_log16(jnp.asarray(sqd), jnp.asarray(y),
+                                  jnp.asarray(theta), jnp.asarray(jit_pow),
+                                  jnp.asarray(mask)))
     np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
 
 

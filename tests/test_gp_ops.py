@@ -1,9 +1,19 @@
 """Masked GP linalg vs a dense numpy reference GP (SURVEY.md section 7 step 5)."""
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from nngparareal_tpu.ops import gp as gpops
+
+# jitted aliases: the ops are plain functions (their production call
+# sites are jitted sweeps); eager dispatch is pure suite wall
+_nll_log = jax.jit(partial(gpops.nll_from_sqd, kernel=gpops.k_se_log10))
+_nll_lin = jax.jit(partial(gpops.nll_from_sqd, kernel=gpops.k_se_linear))
+_post_log = jax.jit(partial(gpops.predict_mean_from_sqd,
+                            kernel=gpops.k_se_log10))
 
 
 def _ref_nll(x, y, theta, jitter, kernel="log10"):
@@ -43,9 +53,8 @@ def test_masked_nll_equals_dense_reference():
     mask = np.zeros(M + pad)
     mask[:M] = 1.0
     sqd = gpops.pairwise_sq_dists(jnp.asarray(X), jnp.asarray(X))
-    got = gpops.nll_from_sqd(
-        sqd, jnp.asarray(Y), jnp.asarray(theta), jitter, jnp.asarray(mask),
-        gpops.k_se_log10,
+    got = _nll_log(
+        sqd, jnp.asarray(Y), jnp.asarray(theta), jitter, jnp.asarray(mask)
     )
     np.testing.assert_allclose(float(got), want, rtol=1e-10)
 
@@ -62,9 +71,8 @@ def test_masked_nll_linear_kernel():
     Y = np.concatenate([y, np.full(pad, -7.0)])
     mask = np.concatenate([np.ones(M), np.zeros(pad)])
     sqd = gpops.pairwise_sq_dists(jnp.asarray(X), jnp.asarray(X))
-    got = gpops.nll_from_sqd(
-        sqd, jnp.asarray(Y), jnp.asarray(theta), jitter, jnp.asarray(mask),
-        gpops.k_se_linear,
+    got = _nll_lin(
+        sqd, jnp.asarray(Y), jnp.asarray(theta), jitter, jnp.asarray(mask)
     )
     np.testing.assert_allclose(float(got), want, rtol=1e-10)
 
@@ -91,9 +99,9 @@ def test_posterior_mean_matches_reference():
     mask = np.concatenate([np.ones(M), np.zeros(pad)])
     sqd_xx = gpops.pairwise_sq_dists(jnp.asarray(X), jnp.asarray(X))
     sqd_xq = gpops.sq_dists_to(jnp.asarray(q), jnp.asarray(X))
-    got = gpops.predict_mean_from_sqd(
+    got = _post_log(
         sqd_xx, sqd_xq, jnp.asarray(Y), jnp.asarray(theta), jitter,
-        jnp.asarray(mask), gpops.k_se_log10,
+        jnp.asarray(mask),
     )
     np.testing.assert_allclose(float(got), want, rtol=1e-9)
 
@@ -102,8 +110,8 @@ def test_failed_cholesky_maps_to_inf():
     # wildly scaled kernel with zero jitter-> NaN/Inf NLL must become +inf
     X = jnp.asarray(np.ones((4, 2)))
     sqd = gpops.pairwise_sq_dists(X, X)
-    got = gpops.nll_from_sqd(
+    got = _nll_log(
         sqd, jnp.asarray(np.ones(4)), jnp.asarray([8.0, 8.0]), -30.0,
-        jnp.ones(4), gpops.k_se_log10,
+        jnp.ones(4),
     )
     assert np.isinf(float(got))

@@ -11,6 +11,13 @@ from nngparareal_tpu.ops.linalg_small import (
     chol_solve_small,
 )
 
+# jit the unrolled kernels (production call sites are jitted sweeps);
+# eager per-op dispatch of the unrolled recurrences is pure suite wall
+_chol = jax.jit(cholesky_small)
+_sol_l = jax.jit(solve_lower_small)
+_sol_u = jax.jit(solve_upper_small)
+_chol_solve = jax.jit(chol_solve_small)
+
 
 def _spd(rng, m):
     A = rng.normal(size=(m, m))
@@ -21,7 +28,7 @@ def test_cholesky_matches_numpy():
     rng = np.random.default_rng(0)
     for m in (1, 2, 5, 18, 31):
         A = _spd(rng, m)
-        L = np.asarray(cholesky_small(jnp.asarray(A)))
+        L = np.asarray(_chol(jnp.asarray(A)))
         np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=1e-10,
                                    atol=1e-12)
 
@@ -29,7 +36,7 @@ def test_cholesky_matches_numpy():
 def test_batched_cholesky():
     rng = np.random.default_rng(1)
     As = np.stack([_spd(rng, 12) for _ in range(7)])
-    Ls = np.asarray(cholesky_small(jnp.asarray(As)))
+    Ls = np.asarray(_chol(jnp.asarray(As)))
     for i in range(7):
         np.testing.assert_allclose(Ls[i], np.linalg.cholesky(As[i]),
                                    rtol=1e-10, atol=1e-12)
@@ -40,9 +47,9 @@ def test_triangular_solves():
     m = 15
     L = np.linalg.cholesky(_spd(rng, m))
     y = rng.normal(size=m)
-    z = np.asarray(solve_lower_small(jnp.asarray(L), jnp.asarray(y)))
+    z = np.asarray(_sol_l(jnp.asarray(L), jnp.asarray(y)))
     np.testing.assert_allclose(z, np.linalg.solve(L, y), rtol=1e-10)
-    x = np.asarray(solve_upper_small(jnp.asarray(L.T), jnp.asarray(y)))
+    x = np.asarray(_sol_u(jnp.asarray(L.T), jnp.asarray(y)))
     np.testing.assert_allclose(x, np.linalg.solve(L.T, y), rtol=1e-10)
 
 
@@ -52,7 +59,7 @@ def test_chol_solve():
     A = _spd(rng, m)
     L = np.linalg.cholesky(A)
     y = rng.normal(size=m)
-    alpha = np.asarray(chol_solve_small(jnp.asarray(L), jnp.asarray(y)))
+    alpha = np.asarray(_chol_solve(jnp.asarray(L), jnp.asarray(y)))
     np.testing.assert_allclose(alpha, np.linalg.solve(A, y), rtol=1e-9)
 
 
