@@ -117,6 +117,7 @@ class Parareal:
                 "grid_refine",
                 "grid_walk",
                 "grid_polish",
+                "grid_logs",
                 "score_dtype",
                 "strategy",
                 "theta",
@@ -141,7 +142,7 @@ class Parareal:
         if key in ("nngp_scipy", "nngp_oracle"):
             from nngparareal_tpu.models.nngp_scipy import NNGPScipy
 
-            for bad in ("optimizer", "grid_refine", "grid_walk", "grid_polish",
+            for bad in ("optimizer", "grid_refine", "grid_walk", "grid_polish", "grid_logs",
                         "score_dtype", "strategy", "theta", "nn_iters",
                         "reps", "nm_max_iters"):
                 kw.pop(bad, None)
@@ -150,7 +151,7 @@ class Parareal:
             from nngparareal_tpu.models.gp_scipy import GPScipy
 
             for bad in ("nn", "optimizer", "posterior", "grid_refine",
-                        "grid_walk", "grid_polish", "score_dtype",
+                        "grid_walk", "grid_polish", "grid_logs", "score_dtype",
                         "strategy", "nn_iters", "reps", "n_restarts",
                         "nm_max_iters"):
                 kw.pop(bad, None)
@@ -165,20 +166,20 @@ class Parareal:
             return GParareal(n=self.n, N=self.N, mesh=kwargs.get("mesh"),
                              **kw)
         if key in ("nngp_time", "nngptime"):
-            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy", "theta"):
+            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "grid_logs", "score_dtype", "strategy", "theta"):
                 kw.pop(bad, None)
             return NNGPTime(n=self.n, N=self.N, **kw)
         if key in ("knn_mean", "nn_mean", "knnmean"):
             from nngparareal_tpu.models import KNNMean
 
-            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy", "theta",
+            for bad in ("optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "grid_logs", "score_dtype", "strategy", "theta",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters"):
                 kw.pop(bad, None)
             return KNNMean(n=self.n, N=self.N, **kw)
         if key == "elm":
             kw.setdefault("seed", 47)
-            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "score_dtype", "strategy",
+            for bad in ("nn", "optimizer", "posterior", "grid_refine", "grid_walk", "grid_polish", "grid_logs", "score_dtype", "strategy",
                         "nn_iters", "reps", "n_restarts", "fatol", "xatol",
                         "nm_max_iters", "theta"):
                 kw.pop(bad, None)

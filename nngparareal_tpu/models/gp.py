@@ -43,6 +43,7 @@ class GParareal(ModelBase):
         optimizer="nm",
         grid_chunk=None,
         grid_task_chunk=None,
+        grid_logs=None,
         score_lanes=False,
         mesh=None,
         **kwargs,
@@ -81,7 +82,8 @@ class GParareal(ModelBase):
         # 13x13 log-grid spanning the reference's restart support
         # 10^U(-4,1) (models.py:382) with half-decade steps incl. 10^0
         # = the reference's warm-start theta [1,1]
-        self._grid_logs = np.linspace(-4.5, 1.5, 13)
+        self._grid_logs = (np.linspace(-4.5, 1.5, 13) if grid_logs is None
+                           else np.asarray(grid_logs, float))
         self._refine_half_span = 0.45
         # explicit candidate-chunk override for the grid search (None =
         # size by the ~2GB live-Gram budget)
