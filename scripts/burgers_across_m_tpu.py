@@ -35,7 +35,16 @@ def main():
     ms = [int(sys.argv[4])] if len(sys.argv) > 4 else [12, 15, 18, 21, 25, 30]
     seed0 = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     N = 128
-    rows = []
+    # extend (never clobber) the accumulated study: load prior rows so a
+    # fresh invocation appends — store_pickle overwrites the file
+    pkl = os.path.join("results", f"burgers_across_m_T{T}.pkl")
+    if os.path.exists(pkl):
+        from nngparareal_tpu.utils.io import read_pickle
+
+        rows = read_pickle(pkl)
+    else:
+        rows = []
+    backend = None  # resolved lazily after the first run (jax backend)
     ode = Burgers(d_x=N, normalization="-11")
     f = ode.get_vector_field()
     for m in ms:
@@ -49,12 +58,17 @@ def main():
             try:
                 out = p.run(model="nngp", nn=m, seed=seed,
                             optimizer=optimizer)
+                if backend is None:
+                    import jax
+
+                    backend = jax.default_backend()
                 rows.append({
                     "m": m, "seed": seed, "k": out["k"],
                     "converged": out["converged"],
                     "runtime": out["timings"]["runtime"],
                     "warmup_t": out["timings"].get("warmup_t", 0.0),
                     "speedup": float(calc_speedup(out, N=N)),
+                    "optimizer": optimizer, "backend": backend,
                 })
                 print(f"m={m} seed={seed} K={out['k']} "
                       f"rt={out['timings']['runtime']:.1f}s", flush=True)
