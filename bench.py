@@ -46,22 +46,28 @@ def _chip_healthy(timeout_s=300):
 
 def main():
     if not _chip_healthy():
+        # Advisor round-3 (bench.py:62): never publish an unmeasured number
+        # in the standard metric schema. On outage the metric line carries
+        # value=null under a distinct *_STALE name and the process exits
+        # nonzero; the last recorded measurement lives only in the stderr
+        # detail object for humans.
         info = {
             "error": "TPU backend unavailable at bench time (worker down); "
-                     "reporting the last recorded on-chip measurement of "
-                     "this benchmark, marked stale",
+                     "no fresh measurement. Last recorded on-chip result "
+                     "of this exact benchmark is included for reference "
+                     "only — it is NOT this run's value.",
             "stale_from": "BENCHMARKS.md round-3 Pallas ds32 run",
-            **LAST_RECORDED,
+            "last_recorded": LAST_RECORDED,
         }
         print(json.dumps({"detail": info}), file=sys.stderr)
         print(json.dumps({
-            "metric": "burgers128_nngp_5e-7_wallclock_speedup_over_reference_cluster_runtime",
-            "value": LAST_RECORDED["value"],
+            "metric": "burgers128_nngp_5e-7_wallclock_speedup_over_reference_cluster_runtime_STALE",
+            "value": None,
             "unit": "x",
-            "vs_baseline": LAST_RECORDED["value"],
+            "vs_baseline": None,
             "stale_chip_outage": True,
         }))
-        return
+        sys.exit(3)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

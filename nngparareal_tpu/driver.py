@@ -45,7 +45,6 @@ from nngparareal_tpu.models.base import ModelBase
 from nngparareal_tpu.systems.base import ODE
 from nngparareal_tpu.solver import SolverAbstr
 from nngparareal_tpu.parallel.mesh import shard_fine_fanout
-from nngparareal_tpu.ops.rk import integrate_last
 
 
 def _block(x):
@@ -210,11 +209,18 @@ class Parareal:
                 return fanout_paged
             return solver.run_F_batch
 
-        f, F, Nf = solver.f, solver.F, solver.Nf
+        # Thread the solver's ACTUAL fine arithmetic into the shard_map
+        # traceable (advisor round-3 driver.py:215): fine_step_raw
+        # dispatches to the ds32 compensated-f32 integrator when fine_ds
+        # is set, so mesh= runs the same arithmetic as the single-device
+        # path. fine_pallas rides the ds32 XLA path per shard — bitwise-
+        # identical to the whole-chunk Pallas kernel (PARITY.md round 3),
+        # and shard-shape-agnostic.
+        fine_step = solver.fine_step_raw
 
         def traceable(t0s, t1s, U):
             def one(t0, t1, u):
-                return integrate_last(f, F, t0, (t1 - t0) / Nf, Nf, u)
+                return fine_step(t0, t1 - t0, u)
 
             return jax.vmap(one)(t0s, t1s, U)
 

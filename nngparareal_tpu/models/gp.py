@@ -297,6 +297,15 @@ class GParareal(ModelBase):
 
         if self.optimizer == "grid":
             th, jv, fv = self._fit_grid_search(fit_grid, dsX, dsD, dsV)
+            bad = np.where(~np.isfinite(fv))[0]
+            if bad.size:
+                # A coordinate with no finite NLL anywhere on the widened
+                # grids falls back to the reference's random-restart rescue
+                # (models.py:358-384) instead of aborting the run — the one
+                # place grid mode consumes the RNG stream (documented in
+                # PARITY.md; advisor round-3 gp.py:404).
+                th, jv, fv = (np.array(th), np.array(jv), np.array(fv))
+                th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
         else:
             x0 = np.repeat(self.thetas, nj, axis=0)  # (n*nj, 2) coord-major
             th, jv, fv = fit_warm(dsX, dsD, dsV, jnp.asarray(x0))
@@ -328,8 +337,9 @@ class GParareal(ModelBase):
         the reference's restart support, then a same-shape refine grid
         centred on each task's winner (identical avals -> both passes run
         the SAME compiled executable). A coordinate whose every candidate
-        is non-finite gets progressively widened refine passes instead of
-        the NM random-restart rescue (models.py:358-384)."""
+        is non-finite gets progressively widened refine passes first; if
+        those also fail it is returned with fv=+inf and fit() falls back
+        to the NM random-restart rescue (models.py:358-384)."""
         n, nj = self.n, len(self._jitters)
         T = n * nj
         logs = self._grid_logs
@@ -395,17 +405,10 @@ class GParareal(ModelBase):
             fv = np.minimum(fv, f2)
             if np.all(np.isfinite(fv)):
                 break
-        if not np.all(np.isfinite(fv)):
-            # keep reference semantics: a fully failed coordinate is fatal
-            # only if no jitter worked either; the per-coordinate argmin
-            # below discards inf jitter rows when any jitter succeeded
-            fv2 = fv.reshape(n, nj)
-            if np.any(~np.isfinite(fv2).any(axis=1)):
-                raise RuntimeError(
-                    "GP grid hyperopt: no finite NLL for some coordinate "
-                    "after widened refine passes"
-                )
-
+        # a coordinate with no finite NLL at any jitter survives to the
+        # argmin below with fv=+inf; fit() routes it to the NM
+        # random-restart rescue (reference models.py:358-384) rather than
+        # aborting mid-solve (advisor round-3 gp.py:404)
         fv = fv.reshape(n, nj)
         th = th.reshape(n, nj, 2)
         best = np.argmin(fv, axis=1)

@@ -30,6 +30,8 @@ XLA-level loop.
 
 import functools
 
+from jax.extend import core as jex_core
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -91,6 +93,30 @@ def _make_kernel(f_ds, tab, steps, shape, layout):
     # batched field once, hoist its consts to explicit kernel inputs, and
     # re-emit its jaxpr inside the kernel with the consts rebound.
     spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+
+    # Build-time autonomy check (advisor round-3 rk_pallas.py:197): the
+    # kernel feeds t=0 to the field at every stage, which is only correct
+    # when the traced field never consumes t. Trace once with t as a real
+    # invar and refuse to build if any equation reads it.
+    tspec = jax.ShapeDtypeStruct((), jnp.float32)
+    probe = jax.make_jaxpr(lambda t, uh, ul: f_batched(t, (uh, ul)))(
+        tspec, spec, spec
+    )
+    tvar = probe.jaxpr.invars[0]
+    t_used = any(
+        any(v is tvar for v in eqn.invars
+            if not isinstance(v, jex_core.Literal))
+        for eqn in probe.jaxpr.eqns
+    ) or any(v is tvar for v in probe.jaxpr.outvars
+             if not isinstance(v, jex_core.Literal))
+    if t_used:
+        raise NotImplementedError(
+            "pallas fine path requires an autonomous vector field (the "
+            "kernel never materialises stage times); this field's jaxpr "
+            "consumes t — use the XLA ds32 fan-out instead "
+            "(RKSolver(fine_pallas=False))"
+        )
+
     closed = jax.make_jaxpr(lambda uh, ul: f_batched(0.0, (uh, ul)))(spec, spec)
     consts = [np.asarray(c) for c in closed.consts]
     for c in consts:
@@ -191,7 +217,7 @@ def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
         return call, vals, consts2d, layout
 
     @jax.jit
-    def run(t0s, t1s, U):
+    def _run(t0s, t1s, U):
         B, dim = U.shape
         call, vals, consts2d, layout = build(int(dim), int(B))
         dt = (t1s[0] - t0s[0]) / steps  # uniform slice width (f64)
@@ -214,5 +240,24 @@ def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
         else:
             oh, ol = call(ch[:, None], cl[:, None], *consts2d, Uh, Ul)
         return ds32.ds_to_f64(oh, ol)
+
+    def run(t0s, t1s, U):
+        # Host-side uniform-width guard (advisor round-3 rk_pallas.py:197):
+        # the kernel derives ONE dt from slice 0, so non-uniform widths
+        # would silently integrate every other slice over the wrong span.
+        # The production fan-out always calls with concrete arrays; under
+        # tracing the check is skipped (widths are uniform by construction
+        # on the parareal grid).
+        if not isinstance(t0s, jax.core.Tracer):
+            w = np.asarray(jax.device_get(t1s)) - np.asarray(
+                jax.device_get(t0s))
+            if w.size > 1 and not np.allclose(w, w.flat[0], rtol=1e-12,
+                                              atol=0.0):
+                raise ValueError(
+                    "pallas fine fan-out requires uniform slice widths; "
+                    f"got spread [{w.min()!r}, {w.max()!r}] — use the XLA "
+                    "ds32 fan-out (RKSolver(fine_pallas=False))"
+                )
+        return _run(t0s, t1s, U)
 
     return run

@@ -17,6 +17,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("ACROSSM_CPU") == "1":
+    # seed-band extension runs ride the CPU while the chip is busy/down
+    # (the env JAX_PLATFORMS pin is ignored on this box — go through the
+    # live config, as tests/conftest.py does)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from nngparareal_tpu.systems import Burgers
