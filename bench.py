@@ -84,18 +84,17 @@ def main():
 
     ode = Burgers(d_x=128, normalization="-11")
     f = ode.get_vector_field()
-    # BENCH_FINE=f64|ds|pallas selects the fine-solver arithmetic (ds32
-    # K-parity across the zoo: PARITY.md round 3)
+    # BENCH_FINE=f64|ds|pallas|auto overrides the fine-solver arithmetic.
+    # Default 'auto' (solver.select_fine_mode) resolves to the Pallas
+    # whole-chunk ds32 kernel here — d=128 on TPU (10.6 us/step vs ~25 ds
+    # / ~41 f64; bitwise-identical to the ds32 XLA path, K-parity with
+    # f64 across the zoo — PARITY.md round 3).
     import os
 
-    # Default is the Pallas whole-chunk ds32 RK kernel (10.6 us/step vs
-    # ~25 ds / ~41 f64 on Burgers-128; bitwise-identical to the ds32 XLA
-    # path, K-parity with f64 across the zoo — PARITY.md round 3).
-    fine = os.environ.get("BENCH_FINE", "pallas")
+    fine = os.environ.get("BENCH_FINE", "auto")
     fine_kw = {}
-    if fine in ("ds", "pallas"):
-        fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
-                       fine_pallas=(fine == "pallas"))
+    if fine in ("ds", "pallas", "auto"):
+        fine_kw = dict(fine_ds=ode.get_ds_vector_field(), fine=fine)
     solver = RKSolver(f, Ng=Ng_per, Nf=Nf_per, G="RK1", F="RK8", **fine_kw)
     p = Parareal(ode, solver, [0.0, T], N, epsilon=5e-7, verbose=None)
 
@@ -137,6 +136,7 @@ def main():
 
     info = {
         "fine": fine,
+        "fine_resolved": getattr(solver, "_fine_mode_resolved", fine),
         "K": out["k"],
         "converged": bool(out["converged"]),
         "runtime_s": round(runtime, 3),

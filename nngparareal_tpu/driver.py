@@ -192,6 +192,10 @@ class Parareal:
     def _make_fanout(self, mesh):
         """(t0s, t1s, U) -> F-endpoints for all N slices."""
         solver = self.solver
+        # resolve fine='auto' NOW (the state dim is known) so the .paged
+        # contract check below sees the concrete fan-out
+        if hasattr(solver, "resolve_fine"):
+            solver.resolve_fine(self.n)
         if mesh is None:
             inner = getattr(solver, "_fine_batch", None)
             if getattr(inner, "paged", False):

@@ -162,7 +162,7 @@ def _pack_default():
 
 
 def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
-                                 unroll=1, pack=None):
+                                 unroll=1, pack=None, min_rows=1):
     """Build ``fan_out(t0s, t1s, U) -> (B, dim)``: the parareal fine fan-out.
 
     One batched RK kernel over all B time slices at once — the TPU-native
@@ -175,6 +175,14 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
     flat transposed (dim, B) layout (bitwise-identical results);
     ``pack=None`` (default) enables packing only on non-CPU backends,
     resolved lazily at the first dispatch.
+
+    ``min_rows``: pad the packed layout to at least this many 128-lane
+    rows (the sublane axis of the (8, 128) vreg tile). A small-N fan-out
+    (B=32 -> rows=1) runs its multi-million-step loop on 1/8-filled
+    vregs, which trips the toolchain's degenerate-shape slowdown
+    (BENCHMARKS.md engineering notes); ``min_rows=8`` trades up to 8x
+    redundant lanes for full-tile ops. Padded rows integrate the
+    edge-replicated slice — real slices' results are unchanged.
     """
     tab = get_tableau(tableau)
     steps = int(steps)
@@ -199,7 +207,7 @@ def make_batched_last_integrator(f, tableau, steps, thresh=int(1e7), jit=True,
 
     def chunk_fn_P(t0s, dts, U, n_chunk):
         B, dim = U.shape
-        rows = -(-B // _LANES)
+        rows = max(-(-B // _LANES), int(min_rows))
         padn = rows * _LANES - B
         t0p = jnp.pad(t0s, (0, padn), mode="edge").reshape(rows, _LANES)
         dtp = jnp.pad(dts, (0, padn), mode="edge").reshape(rows, _LANES)

@@ -90,7 +90,8 @@ _LANES = 128  # VPU lane width: the packed layout's trailing-axis size
 
 
 def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
-                                    jit=True, unroll=1, pack=None):
+                                    jit=True, unroll=1, pack=None,
+                                    min_rows=1):
     """ds twin of make_batched_last_integrator: ``fan_out(t0s, t1s, U)``.
 
     U is (B, dim) f64; internally split into f32 pairs, integrated, and
@@ -135,7 +136,9 @@ def make_batched_last_integrator_ds(f_ds, tableau, steps, thresh=int(1e7),
 
     def chunk_packed(t0s, dts, Uh, Ul, n_chunk):
         B, dim = Uh.shape
-        rows = -(-B // _LANES)
+        # min_rows pads small batches into full (8, 128) sublane tiles —
+        # the small-N degenerate-shape mitigation (see ops/rk.py)
+        rows = max(-(-B // _LANES), int(min_rows))
         padn = rows * _LANES - B
         t0p = jnp.pad(t0s, (0, padn), mode="edge").reshape(rows, _LANES)
         dtp = jnp.pad(dts, (0, padn), mode="edge").reshape(rows, _LANES)

@@ -60,9 +60,31 @@ class SolverAbstr:
         return wall_timed(self.run_G_full)(t0, t1, u0)
 
 
+# Fine-path auto-selection cutoff: at d >= 64 a step is matmul/stencil-
+# sized VPU work and the whole-chunk Pallas kernel wins (Burgers-128:
+# 10.6 vs 25.3 us/step); below it the 1-2-vreg operands leave the Pallas
+# kernel latency-bound and XLA's fused fan-out wins (Hopf d=3: 10.2 vs
+# 72.9) — measured in BENCHMARKS.md "Pallas whole-chunk RK fine kernel".
+_PALLAS_DIM_CUTOFF = 64
+
+
+def select_fine_mode(dim, backend, has_ds):
+    """Pick the fine fan-out arithmetic for (state dim, jax backend).
+
+    Returns one of 'f64' | 'ds' | 'pallas'. Measured basis (BENCHMARKS.md
+    MFU table): on TPU, ds32 XLA beats emulated f64 at every tested shape
+    and Pallas beats ds32 only at PDE-sized d; on CPU, native IEEE f64 is
+    both faster and the reference's exact arithmetic, so the ds machinery
+    is bypassed."""
+    if not has_ds or backend in ("cpu",):
+        return "f64"
+    return "pallas" if int(dim) >= _PALLAS_DIM_CUTOFF else "ds"
+
+
 class RKSolver(SolverAbstr):
     def __init__(self, f, Ng, Nf, G="RK1", F="RK4", thresh=int(1e7),
-                 fine_ds=None, fine_pallas=False, **kwargs):
+                 fine_ds=None, fine_pallas=False, fine=None,
+                 fine_min_rows=1, **kwargs):
         """``fine_ds``: optional double-single (f32x2) vector field
         ``f_ds(t, (uh, ul)) -> (kh, kl)`` (see ops/rk_ds.py; every system
         provides one via ``ode.get_ds_vector_field()``). When given, the
@@ -72,10 +94,25 @@ class RKSolver(SolverAbstr):
         production Burgers config (tests/test_rk_ds.py). The coarse
         solver and all driver logic stay f64.
 
-        ``fine_pallas``: run the fine fan-out as ONE whole-chunk Pallas
+        ``fine``: fan-out path selection — 'f64' | 'ds' | 'pallas' |
+        'auto'. 'auto' (the default whenever ``fine_ds`` is supplied)
+        resolves lazily at the first batched dispatch from the state
+        dimension and the active jax backend via ``select_fine_mode``:
+        Pallas for PDE-sized states on TPU, XLA ds32 for the small-d zoo
+        on TPU, plain f64 on CPU. 'pallas' runs the whole-chunk Pallas
         TPU kernel (ops/rk_pallas.py) — state resident in VMEM for the
-        entire integration, no per-step op-issue cost. Requires
-        ``fine_ds`` and uniform slice widths (the parareal grid)."""
+        entire integration; requires ``fine_ds``, uniform slice widths
+        (the parareal grid) and an autonomous field. The legacy
+        ``fine_pallas=True`` flag is equivalent to ``fine='pallas'``.
+
+        NOTE: because 'auto' picks per-backend arithmetic, K at tight
+        tolerances may differ between backends (it already does between
+        IEEE f64 CPU and emulated-f64 TPU); pass an explicit ``fine=``
+        for cross-backend bit-reproducibility studies.
+
+        ``fine_min_rows``: small-N degenerate-shape mitigation — pad the
+        packed fan-out layout to at least this many (128-lane) sublane
+        rows (ops/rk.py ``min_rows``)."""
         self.f = f
         self.Ng = int(Ng)
         self.Nf = int(Nf)
@@ -83,47 +120,108 @@ class RKSolver(SolverAbstr):
         self.F = get_tableau(F)
         self.thresh = int(thresh)
         self.fine_ds = fine_ds
-        self.fine_pallas = bool(fine_pallas)
-        if self.fine_pallas and fine_ds is None:
-            raise ValueError("fine_pallas=True requires fine_ds")
+        self.fine_min_rows = int(fine_min_rows)
+
+        if fine is None:
+            fine = "pallas" if fine_pallas else (
+                "auto" if fine_ds is not None else "f64")
+        if fine not in ("auto", "f64", "ds", "pallas"):
+            raise ValueError(f"fine={fine!r}")
+        if fine in ("ds", "pallas") and fine_ds is None:
+            raise ValueError(f"fine={fine!r} requires fine_ds")
+        if fine == "auto" and fine_ds is None:
+            fine = "f64"
+        self.fine = fine
+        self.fine_pallas = fine == "pallas"
 
         self._coarse_last = make_last_integrator(f, self.G, self.Ng, self.thresh)
-        if fine_ds is None:
+        self._fine_builders = {}
+        self._fine_mode_resolved = fine if fine != "auto" else None
+
+        if fine == "f64":
             self._fine_last = make_last_integrator(
                 f, self.F, self.Nf, self.thresh
             )
-            self._fine_batch = make_batched_last_integrator(
-                f, self.F, self.Nf, self.thresh
-            )
+            self._fine_batch = self._get_fine_batch("f64")
         else:
-            from nngparareal_tpu.ops.rk_ds import (
-                make_batched_last_integrator_ds,
-            )
+            # auto resolves at the first dispatch (the state dimension and
+            # active backend are known there); every fine surface —
+            # batched, single-slice, in-sweep raw — follows the SAME
+            # resolved mode so serial/mesh/batched paths stay
+            # arithmetic-identical
+            if fine == "auto":
+                self._fine_batch = self._auto_fine_batch
+            else:
+                self._fine_batch = self._get_fine_batch(fine)
 
-            if self.fine_pallas:
+            def _fine_last_any(t0, t1, u0):
+                u0 = jnp.asarray(u0)
+                mode = (self.resolve_fine(int(u0.shape[-1]))
+                        if self.fine == "auto" else self.fine)
+                if mode == "f64":
+                    if "f64_last" not in self._fine_builders:
+                        self._fine_builders["f64_last"] = (
+                            make_last_integrator(
+                                self.f, self.F, self.Nf, self.thresh
+                            )
+                        )
+                    return self._fine_builders["f64_last"](t0, t1, u0)
+                out = self._get_fine_batch(mode)(
+                    jnp.asarray(t0)[None], jnp.asarray(t1)[None],
+                    u0[None, :],
+                )
+                return out[0]
+
+            self._fine_last = _fine_last_any
+        self._fine_traj = make_traj_integrator(f, self.F, self.Nf)
+        self._coarse_traj = make_traj_integrator(f, self.G, self.Ng)
+        self._chain_cache = {}
+
+    def _get_fine_batch(self, mode):
+        """Build (and cache) the batched fine fan-out for ``mode``."""
+        if mode not in self._fine_builders:
+            if mode == "f64":
+                fan = make_batched_last_integrator(
+                    self.f, self.F, self.Nf, self.thresh,
+                    min_rows=self.fine_min_rows,
+                )
+            elif mode == "ds":
+                from nngparareal_tpu.ops.rk_ds import (
+                    make_batched_last_integrator_ds,
+                )
+
+                fan = make_batched_last_integrator_ds(
+                    self.fine_ds, self.F, self.Nf, self.thresh,
+                    min_rows=self.fine_min_rows,
+                )
+            elif mode == "pallas":
                 from nngparareal_tpu.ops.rk_pallas import (
                     make_pallas_fanout_ds,
                 )
 
-                self._fine_batch = make_pallas_fanout_ds(
-                    fine_ds, self.F, self.Nf
-                )
-            else:
-                self._fine_batch = make_batched_last_integrator_ds(
-                    fine_ds, self.F, self.Nf, self.thresh
-                )
+                fan = make_pallas_fanout_ds(self.fine_ds, self.F, self.Nf)
+            else:  # pragma: no cover
+                raise ValueError(mode)
+            self._fine_builders[mode] = fan
+        return self._fine_builders[mode]
 
-            def _fine_last_ds(t0, t1, u0):
-                out = self._fine_batch(
-                    jnp.asarray(t0)[None], jnp.asarray(t1)[None],
-                    jnp.asarray(u0)[None, :],
-                )
-                return out[0]
+    def resolve_fine(self, dim):
+        """Resolve 'auto' for state dimension ``dim``; return the mode.
 
-            self._fine_last = _fine_last_ds
-        self._fine_traj = make_traj_integrator(f, self.F, self.Nf)
-        self._coarse_traj = make_traj_integrator(f, self.G, self.Ng)
-        self._chain_cache = {}
+        Idempotent; after resolution ``_fine_batch`` is the concrete
+        fan-out (so contracts like ``.paged``/``.warm`` are visible to
+        the driver's AOT machinery)."""
+        if self._fine_mode_resolved is None:
+            self._fine_mode_resolved = select_fine_mode(
+                dim, jax.default_backend(), self.fine_ds is not None
+            )
+        if self.fine == "auto":
+            self._fine_batch = self._get_fine_batch(self._fine_mode_resolved)
+        return self._fine_mode_resolved
+
+    def _auto_fine_batch(self, t0s, t1s, U):
+        self.resolve_fine(int(U.shape[-1]))
+        return self._fine_batch(t0s, t1s, U)
 
     # --- single-slice API (reference solver.py:102-113) ---
 
@@ -151,8 +249,15 @@ class RKSolver(SolverAbstr):
         return integrate_last(self.f, self.G, t0, dt, self.Ng, u0)
 
     def fine_step_raw(self, t0, dt_slice, u0):
+        """Traceable one-slice fine solve, in the RESOLVED fine
+        arithmetic (ds for the ds/pallas modes — the Pallas kernel is
+        bitwise-identical to the XLA ds path, and a whole-chunk kernel
+        cannot be inlined into another traceable)."""
         dt = dt_slice / self.Nf
-        if self.fine_ds is not None:
+        mode = self._fine_mode_resolved or self.fine
+        if mode == "auto":
+            mode = self.resolve_fine(int(u0.shape[-1]))
+        if mode in ("ds", "pallas") and self.fine_ds is not None:
             from nngparareal_tpu.ops import ds32
             from nngparareal_tpu.ops.rk_ds import integrate_last_ds
 

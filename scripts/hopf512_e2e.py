@@ -31,9 +31,8 @@ def main():
     # Nf/N/25 chunks (reference Hopf.py:65-69)
     Nf = cfg["Nf"] * 10000
     fine_kw = {}
-    if fine in ("ds", "pallas"):
-        fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
-                       fine_pallas=(fine == "pallas"))
+    if fine in ("ds", "pallas", "auto"):
+        fine_kw = dict(fine_ds=ode.get_ds_vector_field(), fine=fine)
     solver = RKSolver(ode.get_vector_field(), cfg["Ng"], Nf,
                       G=cfg["G"], F=cfg["F"], thresh=max(Nf // 25, 1),
                       **fine_kw)

@@ -64,9 +64,9 @@ def main():
     cfg = Config(ode, N=Narg).get()
     Nf = cfg["Nf"] * int(opts.get("nf_mul", 1))
     fine_kw = {}
-    if opts.get("fine") in ("ds", "pallas"):
+    if opts.get("fine") in ("ds", "pallas", "auto"):
         fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
-                       fine_pallas=(opts.get("fine") == "pallas"))
+                       fine=opts.get("fine"))
     thresh = max(Nf // 25, 1) if "nf_mul" in opts else None
     solver = RKSolver(ode.get_vector_field(), cfg["Ng"], Nf, G=cfg["G"],
                       F=cfg["F"], **(dict(thresh=thresh) if thresh else {}),

@@ -90,7 +90,7 @@ def main():
         fine_ds = ode.get_ds_vector_field() if fine == "ds" else None
         solver = RKSolver(
             ode.get_vector_field(), cfg["Ng"], cfg["Nf"], G=cfg["G"],
-            F=cfg["F"], fine_ds=fine_ds,
+            F=cfg["F"], fine_ds=fine_ds, fine=fine if fine_ds else None,
         )
         for mdl in models:
             if mdl == "nngp-nm" and os.environ.get("TABLE2_SEED", "45") != "45":

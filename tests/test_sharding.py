@@ -69,3 +69,21 @@ def test_mesh_with_padding(mesh):
     out_mesh = p_mesh.run(model="parareal", mesh=mesh)
     assert out_mesh["k"] == out_serial["k"]
     np.testing.assert_allclose(out_mesh["u"], out_serial["u"], rtol=1e-12)
+
+
+def test_mesh_threads_ds_arithmetic(mesh):
+    """The mesh traceable must run the solver's ACTUAL fine arithmetic
+    (advisor round-3 driver.py:215): with a ds32 fine solver, mesh= and
+    single-device runs execute the same compensated-f32 kernels and agree
+    exactly; before the fix the mesh path silently rebuilt plain f64."""
+    ode = FHNODE(normalization="-11")
+    f = ode.get_vector_field()
+    solver = RKSolver(f, 4, 500, G="RK2", F="RK4",
+                      fine_ds=ode.get_ds_vector_field(), fine="ds")
+    p1 = Parareal(ode, solver, [0, 20], 16, epsilon=5e-7, verbose=None)
+    out_serial = p1.run(model="parareal")
+    p2 = Parareal(ode, solver, [0, 20], 16, epsilon=5e-7, verbose=None)
+    out_mesh = p2.run(model="parareal", mesh=mesh)
+    assert out_mesh["k"] == out_serial["k"]
+    np.testing.assert_allclose(out_mesh["u"], out_serial["u"],
+                               rtol=1e-13, atol=1e-14)
