@@ -311,7 +311,7 @@ class Parareal:
         return jax.jit(sweep)
 
     def _make_host_sweep(self, model, cap, clip_lo=None, clip_hi=None,
-                         jit_step=True):
+                         jit_step=True, math_device=None):
         """Host loop over intervals calling one jitted interval step.
 
         Same contract as ``_make_sweep``. Used when the model's predict
@@ -325,6 +325,16 @@ class Parareal:
         ``jit_step=False`` (the ``python`` sweep mode) leaves the interval
         step un-jitted so ``host_only`` models (e.g. the scipy-NM oracle
         NNGPScipy) can run plain numpy/scipy inside predict_fn.
+
+        ``math_device``: run the whole corrector sweep (coarse steps +
+        model predict linalg) pinned to this device — the 5e-9 precision
+        router: TPU-emulated f64 carries ~49 mantissa bits and loses the
+        near-singular late-iteration Cholesky solves, inflating K
+        (PARITY.md TPU-backend note); pinning the MODEL math to the CPU's
+        IEEE f64 while the fine fan-out stays on-chip recovers the CPU
+        column's K. Inputs are transferred in, results transferred back
+        to the source device so the fan-out/prep executables never see
+        foreign-committed arrays.
         """
         solver = self.solver
         N = self.N
@@ -352,6 +362,18 @@ class Parareal:
         def sweep(I, u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
                   state, aux):
             I = int(I)
+            out_dev = None
+            if math_device is not None:
+                # pin every input to the math device; committed arguments
+                # steer the jitted step's placement there
+                leaves = jax.tree_util.tree_leaves(u_prev)
+                if leaves and hasattr(leaves[0], "devices"):
+                    devs = leaves[0].devices()
+                    out_dev = next(iter(devs)) if devs else None
+                (u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
+                 state, aux) = jax.device_put(
+                    (u_init, uG_init, uF_k, uG_k, u_prev, dsX, dsD, dsV,
+                     state, aux), math_device)
             u_rows = [u_init[i] for i in range(I + 1)]
             uG_rows = [uG_init[i] for i in range(I + 1)]
             record = getattr(model, "record_interval_time", None)
@@ -372,17 +394,31 @@ class Parareal:
             uG_next = jnp.stack(uG_rows)
             err = jnp.max(jnp.abs(u_next - u_prev), axis=1)
             err = err.at[I].set(0.0)
+            if out_dev is not None:
+                # hand results back on the caller's device: the fan-out /
+                # prep executables must not receive math-device-committed
+                # arrays
+                u_next, uG_next, err = jax.device_put(
+                    (u_next, uG_next, err), out_dev)
             return u_next, uG_next, err
 
         return sweep
 
-    @staticmethod
-    def _resolve_sweep_mode(sweep_mode, model):
+    def _resolve_sweep_mode(self, sweep_mode, model):
         if getattr(model, "host_only", False):
             # numpy/scipy predict (the NNGPScipy oracle): never jitted
             return "python"
         if sweep_mode != "auto":
             return sweep_mode
+        # 5e-9 precision router: TPU f64 is emulated at ~49 mantissa bits
+        # and loses the near-singular late-iteration model solves (K
+        # inflates — PARITY.md TPU-backend note). At tight tolerances,
+        # models that do GP linalg run the corrector sweep on the CPU's
+        # IEEE f64 (the fine fan-out stays on-chip). Opt out with an
+        # explicit sweep_mode=.
+        if (self.epsilon < 1e-8 and model.needs_dataset
+                and jax.default_backend() not in ("cpu",)):
+            return "host_cpu"
         # all built-in models are scan-safe: the NM mode uses the
         # fixed-iteration fori_loop Nelder-Mead (ops/optim.py
         # nelder_mead_fixed), so the while-in-scan TPU miscompile that
@@ -442,6 +478,11 @@ class Parareal:
                     sweep_cache[key] = self._make_host_sweep(
                         model, cap, clip_bounds[0], clip_bounds[1],
                         jit_step=False,
+                    )
+                elif sweep_mode == "host_cpu":
+                    sweep_cache[key] = self._make_host_sweep(
+                        model, cap, clip_bounds[0], clip_bounds[1],
+                        math_device=jax.devices("cpu")[0],
                     )
                 else:
                     make = (
@@ -762,7 +803,16 @@ class Parareal:
             else:
                 ds_fit = ds
             tic = time.perf_counter()
-            model.fit(ds_fit, k)
+            if sweep_mode == "host_cpu":
+                # precision router: the fit's Gram/Cholesky linalg runs on
+                # IEEE-f64 CPU (see _make_host_sweep math_device)
+                cpu0 = jax.devices("cpu")[0]
+                ds_fit = Dataset(*jax.device_put(
+                    (ds_fit.X, ds_fit.D, ds_fit.valid), cpu0))
+                with jax.default_device(cpu0):
+                    model.fit(ds_fit, k)
+            else:
+                model.fit(ds_fit, k)
             st = model.state_pytree()
             if st is not None:
                 _block(st)

@@ -25,6 +25,7 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     early = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     fine = sys.argv[3] if len(sys.argv) > 3 else "f64"  # f64 | ds | pallas
+    min_rows = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     ode = Hopf(normalization="-11")
     cfg = Config(ode, N=N).get()
     # scaling driver multiplies Nf x10000 and pages fine solves in
@@ -33,6 +34,8 @@ def main():
     fine_kw = {}
     if fine in ("ds", "pallas", "auto"):
         fine_kw = dict(fine_ds=ode.get_ds_vector_field(), fine=fine)
+    if min_rows > 1:
+        fine_kw["fine_min_rows"] = min_rows
     solver = RKSolver(ode.get_vector_field(), cfg["Ng"], Nf,
                       G=cfg["G"], F=cfg["F"], thresh=max(Nf // 25, 1),
                       **fine_kw)

@@ -67,6 +67,8 @@ def main():
     if opts.get("fine") in ("ds", "pallas", "auto"):
         fine_kw = dict(fine_ds=ode.get_ds_vector_field(),
                        fine=opts.get("fine"))
+    if "min_rows" in opts:  # small-N sublane-fill mitigation (ops/rk.py)
+        fine_kw["fine_min_rows"] = int(opts["min_rows"])
     thresh = max(Nf // 25, 1) if "nf_mul" in opts else None
     solver = RKSolver(ode.get_vector_field(), cfg["Ng"], Nf, G=cfg["G"],
                       F=cfg["F"], **(dict(thresh=thresh) if thresh else {}),
@@ -105,6 +107,11 @@ def main():
         run_kw["early_stop"] = int(opts["early_stop"])
     if "cap_iters" in opts:
         run_kw["cap_iters"] = int(opts["cap_iters"])
+    if "sweep" in opts:
+        # e.g. sweep=host — per-interval dispatches instead of one fused
+        # scan executable (the suspected nngp-time on-chip kernel-fault
+        # is the refinement chain's giant scan program, NOTES_ROUND3)
+        run_kw["sweep_mode"] = opts["sweep"]
 
     # checkpoint namespace includes every run-shaping option, so runs with
     # different solver/model configs (nf_mul, fine, nn, ...) can never

@@ -1,0 +1,52 @@
+"""5e-9 precision router (sweep_mode='host_cpu'): model math pinned to
+IEEE-f64 CPU while the fine fan-out stays on the default backend
+(VERDICT r3 item 6 / PARITY.md TPU-backend note)."""
+
+import jax
+import numpy as np
+
+from nngparareal_tpu import FHNODE, Config, RKSolver, Parareal
+
+
+def _build(eps=5e-7):
+    ode = FHNODE(normalization="-11")
+    cfg = Config(ode).get()
+    solver = RKSolver(ode.get_vector_field(), 16, 400, G="RK2", F="RK4")
+    return Parareal(ode, solver, cfg["tspan"], 16, epsilon=eps,
+                    verbose=None)
+
+
+def test_host_cpu_matches_host():
+    kw = dict(model="nngp", nn=10, optimizer="grid", warmup=False,
+              measure_serial_fine=False)
+    out_host = _build().run(sweep_mode="host", **kw)
+    out_cpu = _build().run(sweep_mode="host_cpu", **kw)
+    assert out_cpu["k"] == out_host["k"]
+    np.testing.assert_array_equal(np.asarray(out_cpu["u"]),
+                                  np.asarray(out_host["u"]))
+
+
+def test_auto_routes_at_tight_eps(monkeypatch):
+    p = _build(eps=5e-9)
+    mdl = p._make_model("nngp", nn=10)
+    import nngparareal_tpu.driver as drv
+
+    monkeypatch.setattr(drv.jax, "default_backend", lambda: "axon")
+    assert p._resolve_sweep_mode("auto", mdl) == "host_cpu"
+    # loose tolerance / bare parareal / explicit mode: no routing
+    assert _build(eps=5e-7)._resolve_sweep_mode("auto", mdl) == "scan"
+    bare = p._make_model("parareal")
+    assert p._resolve_sweep_mode("auto", bare) == "scan"
+    assert p._resolve_sweep_mode("scan", mdl) == "scan"
+    monkeypatch.setattr(drv.jax, "default_backend", lambda: "cpu")
+    assert p._resolve_sweep_mode("auto", mdl) == "scan"
+
+
+def test_host_cpu_gpjax():
+    kw = dict(model="gpjax", optimizer="grid", warmup=False,
+              measure_serial_fine=False, early_stop=3)
+    out_host = _build().run(sweep_mode="host", **kw)
+    out_cpu = _build().run(sweep_mode="host_cpu", **kw)
+    assert out_cpu["k"] == out_host["k"]
+    np.testing.assert_array_equal(np.asarray(out_cpu["u"]),
+                                  np.asarray(out_host["u"]))
