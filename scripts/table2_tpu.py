@@ -78,7 +78,8 @@ def main():
 
     rows = load_rows()
     done = {(r["system"], r["eps"], r["fine"], r["model"],
-             r.get("backend", "axon")) for r in rows if "K" in r}
+             r.get("backend", "axon"), r.get("sweep", "scan"))
+            for r in rows if "K" in r}
 
     for name, ctor, Narg, nns, pub7, pub9 in SYSTEMS:
         if only and name not in only:
@@ -95,7 +96,9 @@ def main():
         for mdl in models:
             if mdl == "nngp-nm" and os.environ.get("TABLE2_SEED", "45") != "45":
                 mdl = f"nngp-nm-s{os.environ['TABLE2_SEED']}"
-            key = (name, eps, fine, mdl, backend)
+            sweep = ("host_cpu" if (tight and backend != "cpu"
+                                    and mdl != "parareal") else "scan")
+            key = (name, eps, fine, mdl, backend, sweep)
             if key in done:
                 print("skip (done):", key, flush=True)
                 continue
@@ -135,6 +138,9 @@ def main():
                 row = {
                     "system": name, "N": cfg["N"], "eps": eps, "fine": fine,
                     "model": mdl, "nn": nn, "backend": backend,
+                    # at eps<1e-8 on-chip the driver auto-routes model math
+                    # to IEEE-f64 CPU (PARITY.md "5e-9 precision router")
+                    "sweep": sweep,
                     "K": out["k"],
                     "converged": bool(out["converged"]),
                     "published": {"parareal": pub[0], "gpjax": pub[1],
