@@ -97,7 +97,9 @@ def _resumable_rows(system_prefix, model):
         recs = json.load(fh)
     out = {}
     for r in recs:
-        if (r.get("backend") == "axon" and r.get("converged")
+        # run_resumable records the chip backend as "tpu" (older rows:
+        # "axon"); CPU validation rows are excluded from the on-chip plot
+        if (r.get("backend") in ("tpu", "axon") and r.get("converged")
                 and r.get("model") == model
                 and str(r.get("system", "")).startswith(system_prefix)):
             N = int(r["N"])
