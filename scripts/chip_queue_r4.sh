@@ -57,6 +57,8 @@ step pallas_bench 2400 python scripts/pallas_bench.py
 probe
 step smalln_probe 3000 python scripts/smalln_probe.py 32 64 128
 probe
+step smallb_burgers 2400 python scripts/smalln_probe.py burgers
+probe
 step t2_5e9_router 14400 python scripts/table2_tpu.py 5e-9 ds nngp-grid
 probe
 retry_resumable nngp-time-chip 4 3600 Lorenz nngp-time 5e-7 \

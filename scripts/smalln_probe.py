@@ -56,11 +56,57 @@ def timeit(fan, t0s, t1s, U, reps=2):
     return best
 
 
+def burgers_small_b(rows):
+    """Burgers fan-out wall vs batch size B in {8, 32, 128} for all three
+    fine paths: quantifies the 8-slice wall that bounds the bench's
+    own-serial speedup (BENCHMARKS.md 'On the S column'; VERDICT r3 weak
+    #2). d=128 runs the row-major layout, so min_rows does not apply —
+    the question is pure dependency-chain latency vs batch width."""
+    from nngparareal_tpu.systems import Burgers
+    from nngparareal_tpu.ops.rk_pallas import make_pallas_fanout_ds
+
+    ode = Burgers(d_x=128, normalization="-11")
+    f = ode.get_vector_field()
+    fds = ode.get_ds_vector_field()
+    steps = min(PROBE_STEPS, 40000)
+    dt_tot = (5.9 / 128) * (steps / 40000)
+    for B in (8, 32, 128):
+        t0s = jnp.zeros(B)
+        t1s = jnp.full(B, dt_tot)
+        U = jnp.tile(jnp.asarray(ode.get_init_cond()), (B, 1))
+        variants = {
+            "burgers_f64": make_batched_last_integrator(f, "RK8", steps),
+            "burgers_ds": make_batched_last_integrator_ds(fds, "RK8",
+                                                          steps),
+            "burgers_pallas": make_pallas_fanout_ds(fds, "RK8", steps),
+        }
+        for name, fan in variants.items():
+            try:
+                wall = timeit(fan, t0s, t1s, U)
+                row = {"N": B, "variant": name, "steps": steps,
+                       "wall_s": round(wall, 4),
+                       "us_per_step": round(wall / steps * 1e6, 3),
+                       "backend": jax.default_backend()}
+            except Exception as e:
+                row = {"N": B, "variant": name, "steps": steps,
+                       "error": str(e)[:200],
+                       "backend": jax.default_backend()}
+            print(row, flush=True)
+            rows.append(row)
+            json.dump(rows, open(OUT, "w"), indent=1)
+
+
 def main():
-    Ns = [int(a) for a in sys.argv[1:]] or [32, 64, 128]
+    args = sys.argv[1:]
+    do_burgers = "burgers" in args
+    Ns = [int(a) for a in args if a != "burgers"] or (
+        [] if do_burgers else [32, 64, 128])
     rows = []
     if os.path.exists(OUT):
         rows = json.load(open(OUT))
+    if do_burgers:
+        os.makedirs("results", exist_ok=True)
+        burgers_small_b(rows)
     ode = Hopf(normalization="-11")
     f = ode.get_vector_field()
     fds = ode.get_ds_vector_field()

@@ -27,7 +27,7 @@ def test_select_cpu_and_no_ds():
 def test_auto_resolves_f64_on_cpu_and_matches():
     ode = Burgers(d_x=32, normalization="-11")
     f = ode.get_vector_field()
-    kw = dict(Ng=4, Nf=64, G="RK1", F="RK8")
+    kw = dict(Ng=4, Nf=32, G="RK1", F="RK4")
     s_auto = RKSolver(f, fine_ds=ode.get_ds_vector_field(), **kw)
     s_f64 = RKSolver(f, **kw)
     assert s_auto.fine == "auto"
@@ -54,7 +54,7 @@ def test_auto_resolves_f64_on_cpu_and_matches():
 def test_explicit_ds_not_overridden_on_cpu():
     ode = Hopf(normalization="-11")
     f = ode.get_vector_field()
-    s = RKSolver(f, Ng=4, Nf=64, G="RK1", F="RK8",
+    s = RKSolver(f, Ng=4, Nf=32, G="RK1", F="RK4",
                  fine_ds=ode.get_ds_vector_field(), fine="ds")
     assert s.fine == "ds"
     B = 4
@@ -62,7 +62,7 @@ def test_explicit_ds_not_overridden_on_cpu():
     t1s = t0s + 0.1
     U = jnp.tile(jnp.asarray(ode.get_init_cond()), (B, 1))
     out_ds = np.asarray(s.run_F_batch(t0s, t1s, U))
-    s64 = RKSolver(f, Ng=4, Nf=64, G="RK1", F="RK8")
+    s64 = RKSolver(f, Ng=4, Nf=32, G="RK1", F="RK4")
     out_64 = np.asarray(s64.run_F_batch(t0s, t1s, U))
     # ds arithmetic actually ran: near-equal but not the f64 bitstream
     np.testing.assert_allclose(out_ds, out_64, rtol=1e-9)

@@ -17,8 +17,8 @@ def _build(eps=5e-7):
 
 
 def test_host_cpu_matches_host():
-    kw = dict(model="nngp", nn=10, optimizer="grid", warmup=False,
-              measure_serial_fine=False)
+    kw = dict(model="nngp", nn=8, optimizer="grid", warmup=False,
+              measure_serial_fine=False, early_stop=4)
     out_host = _build().run(sweep_mode="host", **kw)
     out_cpu = _build().run(sweep_mode="host_cpu", **kw)
     assert out_cpu["k"] == out_host["k"]

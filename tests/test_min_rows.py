@@ -7,8 +7,8 @@ import numpy as np
 from nngparareal_tpu.systems import Hopf
 
 
-def _args(ode, B=32, steps=60):
-    t0s = jnp.linspace(0.0, 0.32, B, endpoint=False)
+def _args(ode, B=12, steps=30):
+    t0s = jnp.linspace(0.0, 0.12, B, endpoint=False)
     t1s = t0s + 0.01
     U = jnp.tile(jnp.asarray(ode.get_init_cond()), (B, 1)) \
         + jnp.linspace(0, 0.01, B)[:, None]
@@ -21,8 +21,8 @@ def test_f64_min_rows_bitwise():
     ode = Hopf(normalization="-11")
     f = ode.get_vector_field()
     t0s, t1s, U = _args(ode)
-    base = make_batched_last_integrator(f, "RK8", 60, pack=True)
-    mr8 = make_batched_last_integrator(f, "RK8", 60, pack=True, min_rows=8)
+    base = make_batched_last_integrator(f, "RK4", 30, pack=True)
+    mr8 = make_batched_last_integrator(f, "RK4", 30, pack=True, min_rows=8)
     np.testing.assert_array_equal(np.asarray(base(t0s, t1s, U)),
                                   np.asarray(mr8(t0s, t1s, U)))
 
@@ -33,8 +33,8 @@ def test_ds_min_rows_bitwise():
     ode = Hopf(normalization="-11")
     fds = ode.get_ds_vector_field()
     t0s, t1s, U = _args(ode)
-    base = make_batched_last_integrator_ds(fds, "RK4", 60, pack=True)
-    mr8 = make_batched_last_integrator_ds(fds, "RK4", 60, pack=True,
+    base = make_batched_last_integrator_ds(fds, "RK2", 30, pack=True)
+    mr8 = make_batched_last_integrator_ds(fds, "RK2", 30, pack=True,
                                           min_rows=8)
     np.testing.assert_array_equal(np.asarray(base(t0s, t1s, U)),
                                   np.asarray(mr8(t0s, t1s, U)))
