@@ -100,8 +100,13 @@ def main():
 
     # grid hyperopt: the TPU-native deterministic theta search (same
     # candidate support as the reference's NM random starts; K parity
-    # verified on the paper systems — see PARITY.md)
-    out = p.run(model="nngp", nn=18, seed=45, optimizer="grid")
+    # verified on the paper systems — see PARITY.md).
+    # BENCH_SYNC=fast drops the per-phase relay syncs (~3 x 30-50 ms per
+    # iteration) for one sync at the convergence check — identical
+    # trajectories (tests/test_host_cpu_sweep.py), coarser timing splits.
+    sync = os.environ.get("BENCH_SYNC", "attrib")
+    out = p.run(model="nngp", nn=18, seed=45, optimizer="grid",
+                sync_mode=sync)
 
     runtime = out["timings"]["runtime"]
     serial_est = est_serial(out, N)
@@ -154,6 +159,8 @@ def main():
         "G_time_s": round(out["timings"]["G_time"], 3),
         "mdl_tot_s": round(out["timings"]["mdl_tot_t"], 3),
         "overhead_s": round(out["timings"].get("overhead_t", 0.0), 3),
+        "sync_mode": out["timings"].get("sync_mode", "attrib"),
+        "fused_iter_s": round(out["timings"].get("fused_iter_t", 0.0), 3),
         "jit_compile_s": round(out["timings"].get("warmup_t", 0.0), 3),
         "total_wall_s": round(out["timings"].get("total_wall", 0.0), 3),
         "baseline": {"K": BASELINE_K, "speedup": BASELINE_SPEEDUP,

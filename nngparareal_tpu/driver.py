@@ -453,6 +453,7 @@ class Parareal:
         measure_serial_fine=True,
         lag_k=None,
         sweep_mode="auto",
+        sync_mode="attrib",
         clip_iterates=True,
         comp_models=None,
         int_dir="",
@@ -470,6 +471,17 @@ class Parareal:
         fanout = self._make_fanout(mesh)
         sweep_cache = {}
         sweep_mode = self._resolve_sweep_mode(sweep_mode, model)
+        # sync_mode='fast': drop the per-phase device syncs inside the
+        # k-loop (each is a host round-trip — ~30-50 ms through the axon
+        # relay) and sync ONCE per iteration at the convergence check.
+        # The fan-out, data-append and sweep dispatches then pipeline on
+        # the device. Costs per-phase timing attribution: the fused
+        # iteration wall is booked in `fused_iter_t` and the F/sweep/mdl
+        # splits only carry dispatch time (timings['sync_mode'] records
+        # which accounting applies). Only meaningful for the fused scan
+        # sweep; debug forces 'attrib'.
+        fast_sync = (sync_mode == "fast" and sweep_mode == "scan"
+                     and not debug)
 
         def get_sweep(cap, sig):
             key = (cap, sig)
@@ -693,6 +705,7 @@ class Parareal:
         F_time = 0.0
         F_time_serial = 0.0
         sweep_time = 0.0
+        fused_iter_t = 0.0
 
         # --- coarse init chain (parareal.py:264-277) ---
         tic = time.perf_counter()
@@ -739,7 +752,10 @@ class Parareal:
             fan_args = (t_dev[start:N], t_dev[start + 1 : N + 1], u[start:N])
             fan_exec = ensure_fan_compiled(fan_args)
             tic = time.perf_counter()
-            sub = _block(fan_exec(*fan_args))
+            iter_tic = tic
+            sub = fan_exec(*fan_args)
+            if not fast_sync:
+                sub = _block(sub)
             F_time += time.perf_counter() - tic
             if start == 0:
                 uF = jnp.concatenate([u[:1], sub], axis=0)
@@ -814,7 +830,7 @@ class Parareal:
             else:
                 model.fit(ds_fit, k)
             st = model.state_pytree()
-            if st is not None:
+            if st is not None and not fast_sync:
                 _block(st)
             model.add_train_time(k, time.perf_counter() - tic)
 
@@ -849,13 +865,21 @@ class Parareal:
                     sweep_compiled[sweep_key](*sweep_args)
                 )
             dt_sweep = time.perf_counter() - tic
-            sweep_time += dt_sweep
-            # attribute sweep wall between the sequential coarse chain and
-            # the model: estimate G from the measured init chain, prorated
-            # by the active-slice fraction (lax.cond skips frozen slices)
-            g_est = g_chain_t * (N - I) / N
-            G_time += g_est
-            model.add_pred_time(k, max(0.0, dt_sweep - g_est), n_active=N - I)
+            if fast_sync:
+                # the sweep sync is the iteration's ONE device sync: this
+                # wall covers the pipelined fan-out + prep + fit-state +
+                # sweep device work since iter_tic
+                fused_iter_t += time.perf_counter() - iter_tic
+            else:
+                sweep_time += dt_sweep
+                # attribute sweep wall between the sequential coarse chain
+                # and the model: estimate G from the measured init chain,
+                # prorated by the active-slice fraction (lax.cond skips
+                # frozen slices)
+                g_est = g_chain_t * (N - I) / N
+                G_time += g_est
+                model.add_pred_time(k, max(0.0, dt_sweep - g_est),
+                                    n_active=N - I)
 
             # NaN guard rides the (already transferred) err vector: a NaN
             # in uG_next propagates into u_next and hence err
@@ -961,12 +985,18 @@ class Parareal:
             # serial-fine measurement
             "core_t": time.perf_counter() - core_t0
             - (per_slice_fine_t or 0.0) - lazy_compile_t,
+            # sync accounting: 'attrib' = per-phase device syncs, splits
+            # exact; 'fast' = one sync per iteration, the fused
+            # fan+prep+fit+sweep device wall lands in fused_iter_t and
+            # the per-phase splits carry dispatch time only
+            "sync_mode": "fast" if fast_sync else "attrib",
+            "fused_iter_t": fused_iter_t,
         }
         timings.update(model.get_times())
         timings["overhead_t"] = max(
             0.0,
             timings["core_t"] - F_time - g_chain_t - sweep_time
-            - timings["mdl_train_t"],
+            - fused_iter_t - timings["mdl_train_t"],
         )
 
         if debug:

@@ -49,6 +49,8 @@ retry_resumable() { # name attempts timeout args...
 probe
 step bench 1500 python bench.py
 probe
+step bench_fast 1500 env BENCH_SYNC=fast python bench.py
+probe
 retry_resumable gp256 6 5400 Hopf:256 gpjax-grid 5e-7 nf_mul=10000 score=f32
 probe
 retry_resumable gp512 6 7200 Hopf:512 gpjax-grid 5e-7 nf_mul=10000 score=f32

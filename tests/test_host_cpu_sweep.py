@@ -50,3 +50,18 @@ def test_host_cpu_gpjax():
     assert out_cpu["k"] == out_host["k"]
     np.testing.assert_array_equal(np.asarray(out_cpu["u"]),
                                   np.asarray(out_host["u"]))
+
+
+def test_fast_sync_matches_attrib():
+    """sync_mode='fast' (one device sync per iteration) must be a pure
+    timing-accounting change: identical trajectories and K."""
+    kw = dict(model="nngp", nn=8, optimizer="grid", warmup=False,
+              measure_serial_fine=False, early_stop=4)
+    out_a = _build().run(sync_mode="attrib", **kw)
+    out_f = _build().run(sync_mode="fast", **kw)
+    assert out_f["k"] == out_a["k"]
+    np.testing.assert_array_equal(np.asarray(out_f["u"]),
+                                  np.asarray(out_a["u"]))
+    assert out_f["timings"]["sync_mode"] == "fast"
+    assert out_f["timings"]["fused_iter_t"] > 0.0
+    assert out_a["timings"]["sync_mode"] == "attrib"
