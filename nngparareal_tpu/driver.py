@@ -404,6 +404,21 @@ class Parareal:
 
         return sweep
 
+    def _measure_serial_fine(self, solver, t, u0):
+        """One-off per-slice fine-cost estimate: replicated micro-batch
+        (degenerate single-slice long loops are pathological and variable
+        on some TPU toolchains), min of two reps (relay-noise robust)."""
+        bm = 8 if self.n >= 64 else 64
+        reps = []
+        for _ in range(2):
+            tic = time.perf_counter()
+            _block(solver.run_F_batch(
+                jnp.full(bm, t[0]), jnp.full(bm, t[1]),
+                jnp.tile(u0, (bm, 1)),
+            ))
+            reps.append(time.perf_counter() - tic)
+        return min(reps)
+
     def _resolve_sweep_mode(self, sweep_mode, model):
         if getattr(model, "host_only", False):
             # numpy/scipy predict (the NNGPScipy oracle): never jitted
@@ -674,7 +689,18 @@ class Parareal:
                 ))
             saved = model.get_ckpt_state()
             if model.needs_dataset:
-                model.fit(ds, 0)
+                if sweep_mode == "host_cpu":
+                    # warm the SAME executables the loop will use: the
+                    # precision router runs fits on the CPU device — a
+                    # plain warmup fit would compile (and execute) the
+                    # never-reused TPU fit family instead
+                    cpu0 = jax.devices("cpu")[0]
+                    ds_w = Dataset(*jax.device_put(
+                        (ds.X, ds.D, ds.valid), cpu0))
+                    with jax.default_device(cpu0):
+                        model.fit(ds_w, 0)
+                else:
+                    model.fit(ds, 0)
             aux = model.sweep_aux(0, N, ds.capacity)
             if aux is None:
                 aux = jnp.zeros((N, 1))
@@ -751,6 +777,16 @@ class Parareal:
             start = N - Bk
             fan_args = (t_dev[start:N], t_dev[start + 1 : N + 1], u[start:N])
             fan_exec = ensure_fan_compiled(fan_args)
+
+            if (fast_sync and measure_serial_fine
+                    and per_slice_fine_t is None):
+                # fast mode: measure the one-off serial-fine estimate
+                # BEFORE the fan dispatch — its two blocked reps would
+                # otherwise land inside the k=0 fused window and inflate
+                # fused_iter_t by ~2 fan-out walls
+                per_slice_fine_t = self._measure_serial_fine(
+                    solver, t, u[0])
+
             tic = time.perf_counter()
             iter_tic = tic
             sub = fan_exec(*fan_args)
@@ -763,16 +799,8 @@ class Parareal:
                 uF = uF.at[start + 1 : N + 1].set(sub)
 
             if measure_serial_fine and per_slice_fine_t is None:
-                bm = 8 if self.n >= 64 else 64
-                reps = []
-                for _ in range(2):  # min of two reps: relay-noise robust
-                    tic = time.perf_counter()
-                    _block(solver.run_F_batch(
-                        jnp.full(bm, t[0]), jnp.full(bm, t[1]),
-                        jnp.tile(u[0], (bm, 1)),
-                    ))
-                    reps.append(time.perf_counter() - tic)
-                per_slice_fine_t = min(reps)
+                per_slice_fine_t = self._measure_serial_fine(
+                    solver, t, u[0])
             if per_slice_fine_t is not None:
                 F_time_serial += per_slice_fine_t
 
@@ -991,13 +1019,26 @@ class Parareal:
             # the per-phase splits carry dispatch time only
             "sync_mode": "fast" if fast_sync else "attrib",
             "fused_iter_t": fused_iter_t,
+            # resolved sweep mode (esp. 'host_cpu' — the 5e-9 precision
+            # router): artifact scripts must read it here, not re-derive
+            # the routing rule
+            "sweep_mode": sweep_mode,
         }
         timings.update(model.get_times())
-        timings["overhead_t"] = max(
-            0.0,
-            timings["core_t"] - F_time - g_chain_t - sweep_time
-            - fused_iter_t - timings["mdl_train_t"],
-        )
+        if fast_sync:
+            # the fused window ALREADY contains the fan dispatch (F_time)
+            # and the host-side model fit wall (mdl_train_t syncs via its
+            # own np.array transfers) — subtracting them again would clamp
+            # overhead to a meaningless 0
+            timings["overhead_t"] = max(
+                0.0, timings["core_t"] - g_chain_t - fused_iter_t,
+            )
+        else:
+            timings["overhead_t"] = max(
+                0.0,
+                timings["core_t"] - F_time - g_chain_t - sweep_time
+                - timings["mdl_train_t"],
+            )
 
         if debug:
             debug_dict = {

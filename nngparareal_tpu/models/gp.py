@@ -303,9 +303,23 @@ class GParareal(ModelBase):
                 # grids falls back to the reference's random-restart rescue
                 # (models.py:358-384) instead of aborting the run — the one
                 # place grid mode consumes the RNG stream (documented in
-                # PARITY.md; advisor round-3 gp.py:404).
+                # PARITY.md; advisor round-3 gp.py:404). The rescue is a
+                # batched-NM executable — the very thing grid mode exists
+                # to keep off the axon chip (a second distinct batched-NM
+                # executable kernel-faults the worker, see __init__
+                # notes) — so on a non-CPU backend it runs pinned to the
+                # CPU device.
                 th, jv, fv = (np.array(th), np.array(jv), np.array(fv))
-                th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
+                if jax.default_backend() not in ("cpu",):
+                    cpu0 = jax.devices("cpu")[0]
+                    dsX_c, dsD_c, dsV_c = jax.device_put(
+                        (dsX, dsD, dsV), cpu0)
+                    with jax.default_device(cpu0):
+                        th, jv, fv = self._rescue(
+                            dsX_c, dsD_c, dsV_c, th, jv, fv, bad)
+                else:
+                    th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv,
+                                              bad)
         else:
             x0 = np.repeat(self.thetas, nj, axis=0)  # (n*nj, 2) coord-major
             th, jv, fv = fit_warm(dsX, dsD, dsV, jnp.asarray(x0))

@@ -168,6 +168,29 @@ def _make_kernel(f_ds, tab, steps, shape, layout):
     return kernel, jnp.asarray(vals), consts2d
 
 
+def ds_field_is_autonomous(f_ds, dim):
+    """True when the ds field's jaxpr never consumes t — the condition
+    the whole-chunk kernel requires (it feeds t=0 at every stage).
+    Used by ``solver.select_fine_mode``'s auto path to degrade to the
+    XLA ds32 fan-out instead of failing the kernel build."""
+    spec = jax.ShapeDtypeStruct((dim,), jnp.float32)
+    tspec = jax.ShapeDtypeStruct((), jnp.float32)
+    try:
+        probe = jax.make_jaxpr(lambda t, uh, ul: f_ds(t, (uh, ul)))(
+            tspec, spec, spec
+        )
+    except Exception:
+        return False  # untraceable at this shape -> not pallas-eligible
+    tvar = probe.jaxpr.invars[0]
+    used = any(
+        any(v is tvar for v in eqn.invars
+            if not isinstance(v, jex_core.Literal))
+        for eqn in probe.jaxpr.eqns
+    ) or any(v is tvar for v in probe.jaxpr.outvars
+             if not isinstance(v, jex_core.Literal))
+    return not used
+
+
 def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
     """Build ``fan_out(t0s, t1s, U) -> (B, dim)`` running in one kernel.
 
@@ -245,9 +268,11 @@ def make_pallas_fanout_ds(f_ds, tableau, steps, interpret=False):
         # Host-side uniform-width guard (advisor round-3 rk_pallas.py:197):
         # the kernel derives ONE dt from slice 0, so non-uniform widths
         # would silently integrate every other slice over the wrong span.
-        # The production fan-out always calls with concrete arrays; under
-        # tracing the check is skipped (widths are uniform by construction
-        # on the parareal grid).
+        # Scope: this fires for EAGER callers (scripts/tests calling
+        # run_F_batch with concrete arrays). The driver wraps the fan-out
+        # in jit/AOT, where t0s is a tracer and the check is skipped —
+        # safe there because the driver's grid is jnp.linspace-uniform by
+        # construction (driver.py _parareal).
         if not isinstance(t0s, jax.core.Tracer):
             w = np.asarray(jax.device_get(t1s)) - np.asarray(
                 jax.device_get(t0s))

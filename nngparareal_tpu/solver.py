@@ -210,11 +210,22 @@ class RKSolver(SolverAbstr):
 
         Idempotent; after resolution ``_fine_batch`` is the concrete
         fan-out (so contracts like ``.paged``/``.warm`` are visible to
-        the driver's AOT machinery)."""
+        the driver's AOT machinery). Auto only picks 'pallas' when the
+        ds field is actually autonomous (the kernel's requirement) —
+        non-autonomous PDE-sized fields degrade to the XLA ds32 path
+        instead of failing the kernel build."""
         if self._fine_mode_resolved is None:
-            self._fine_mode_resolved = select_fine_mode(
+            mode = select_fine_mode(
                 dim, jax.default_backend(), self.fine_ds is not None
             )
+            if mode == "pallas":
+                from nngparareal_tpu.ops.rk_pallas import (
+                    ds_field_is_autonomous,
+                )
+
+                if not ds_field_is_autonomous(self.fine_ds, int(dim)):
+                    mode = "ds"
+            self._fine_mode_resolved = mode
         if self.fine == "auto":
             self._fine_batch = self._get_fine_batch(self._fine_mode_resolved)
         return self._fine_mode_resolved

@@ -132,7 +132,6 @@ def count_flops(jaxpr, _counts=None):
             a = eqn.invars[0].aval
             b = eqn.invars[1].aval
             n = a.shape[-1]
-            nrhs = _size(b) // _size(a) * n if _size(a) else 1
             batch = _size(a) // (n * n)
             flops = int(batch * n * n * max(1, _size(b) // (batch * n)))
             c["flops"] += flops

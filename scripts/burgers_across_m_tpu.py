@@ -31,7 +31,6 @@ from nngparareal_tpu.systems import Burgers
 from nngparareal_tpu.solver import RKSolver
 from nngparareal_tpu.driver import Parareal
 from nngparareal_tpu.reporting import calc_speedup
-from nngparareal_tpu.utils.io import store_pickle
 
 
 def main():
@@ -43,15 +42,29 @@ def main():
     ms = [int(sys.argv[4])] if len(sys.argv) > 4 else [12, 15, 18, 21, 25, 30]
     seed0 = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     N = 128
-    # extend (never clobber) the accumulated study: load prior rows so a
-    # fresh invocation appends — store_pickle overwrites the file
-    pkl = os.path.join("results", f"burgers_across_m_T{T}.pkl")
-    if os.path.exists(pkl):
-        from nngparareal_tpu.utils.io import read_pickle
+    # locked append (never clobber, never race): the CPU seed chain and
+    # the chip queue can both extend this study concurrently; each new
+    # row is merged under an fcntl lock against the CURRENT disk state
+    # (a load-once/overwrite-each-store scheme would silently drop the
+    # other process's rows)
+    import fcntl
+    import pickle as _pickle
 
-        rows = read_pickle(pkl)
-    else:
-        rows = []
+    pkl = os.path.join("results", f"burgers_across_m_T{T}.pkl")
+    lockpath = pkl + ".lock"
+
+    def append_row(row):
+        with open(lockpath, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            disk = []
+            if os.path.exists(pkl):
+                with open(pkl, "rb") as fh:
+                    disk = _pickle.load(fh)
+            disk.append(row)
+            tmp = pkl + ".tmp"
+            with open(tmp, "wb") as fh:
+                _pickle.dump(disk, fh)
+            os.replace(tmp, pkl)
     backend = None  # resolved lazily after the first run (jax backend)
     ode = Burgers(d_x=N, normalization="-11")
     f = ode.get_vector_field()
@@ -70,7 +83,7 @@ def main():
                     import jax
 
                     backend = jax.default_backend()
-                rows.append({
+                append_row({
                     "m": m, "seed": seed, "k": out["k"],
                     "converged": out["converged"],
                     "runtime": out["timings"]["runtime"],
@@ -81,9 +94,8 @@ def main():
                 print(f"m={m} seed={seed} K={out['k']} "
                       f"rt={out['timings']['runtime']:.1f}s", flush=True)
             except Exception as e:  # record failures as data rows
-                rows.append({"m": m, "seed": seed, "error": str(e)})
+                append_row({"m": m, "seed": seed, "error": str(e)})
                 print(f"m={m} seed={seed} ERROR {e}", flush=True)
-            store_pickle(rows, f"burgers_across_m_T{T}.pkl", "results")
 
 
 if __name__ == "__main__":

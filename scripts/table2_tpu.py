@@ -96,8 +96,12 @@ def main():
         for mdl in models:
             if mdl == "nngp-nm" and os.environ.get("TABLE2_SEED", "45") != "45":
                 mdl = f"nngp-nm-s{os.environ['TABLE2_SEED']}"
-            sweep = ("host_cpu" if (tight and backend != "cpu"
-                                    and mdl != "parareal") else "scan")
+            # expected sweep mode, for the dedup key only; the ROW
+            # records the driver's actual resolved mode from timings
+            sweep = ("host_cpu" if (eps < 1e-8 and backend != "cpu"
+                                    and mdl not in ("parareal", "gp-oracle",
+                                                    "nngp-oracle"))
+                     else "scan")
             key = (name, eps, fine, mdl, backend, sweep)
             if key in done:
                 print("skip (done):", key, flush=True)
@@ -138,9 +142,9 @@ def main():
                 row = {
                     "system": name, "N": cfg["N"], "eps": eps, "fine": fine,
                     "model": mdl, "nn": nn, "backend": backend,
-                    # at eps<1e-8 on-chip the driver auto-routes model math
-                    # to IEEE-f64 CPU (PARITY.md "5e-9 precision router")
-                    "sweep": sweep,
+                    # the driver's RESOLVED sweep mode ('host_cpu' = the
+                    # 5e-9 precision router ran model math on IEEE CPU)
+                    "sweep": out["timings"].get("sweep_mode", sweep),
                     "K": out["k"],
                     "converged": bool(out["converged"]),
                     "published": {"parareal": pub[0], "gpjax": pub[1],

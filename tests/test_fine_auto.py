@@ -87,3 +87,29 @@ def test_driver_resolves_before_paged_check():
     s.resolve_fine(32)
     assert s._fine_mode_resolved == "f64"  # cpu backend
     assert getattr(s._fine_batch, "paged", False)
+
+
+def test_autonomy_gate_degrades_to_ds(monkeypatch):
+    """auto must not pick pallas for a field whose jaxpr consumes t —
+    it degrades to the XLA ds32 fan-out instead of failing the kernel
+    build (code-review r4 finding)."""
+    from nngparareal_tpu.ops.rk_pallas import ds_field_is_autonomous
+
+    ode = Burgers(d_x=128, normalization="-11")
+    assert ds_field_is_autonomous(ode.get_ds_vector_field(), 128)
+
+    def f_ds_t(t, u):
+        uh, ul = u
+        return uh * t, ul * t  # consumes t
+
+    assert not ds_field_is_autonomous(f_ds_t, 128)
+
+    import nngparareal_tpu.solver as sol
+
+    monkeypatch.setattr(sol.jax, "default_backend", lambda: "axon")
+    s = RKSolver(ode.get_vector_field(), Ng=4, Nf=32, G="RK1", F="RK4",
+                 fine_ds=f_ds_t)
+    assert s.resolve_fine(128) == "ds"
+    s2 = RKSolver(ode.get_vector_field(), Ng=4, Nf=32, G="RK1", F="RK4",
+                  fine_ds=ode.get_ds_vector_field())
+    assert s2.resolve_fine(128) == "pallas"
