@@ -419,7 +419,7 @@ class Parareal:
             reps.append(time.perf_counter() - tic)
         return min(reps)
 
-    def _resolve_sweep_mode(self, sweep_mode, model):
+    def _resolve_sweep_mode(self, sweep_mode, model, mesh=None):
         if getattr(model, "host_only", False):
             # numpy/scipy predict (the NNGPScipy oracle): never jitted
             return "python"
@@ -430,8 +430,9 @@ class Parareal:
         # inflates — PARITY.md TPU-backend note). At tight tolerances,
         # models that do GP linalg run the corrector sweep on the CPU's
         # IEEE f64 (the fine fan-out stays on-chip). Opt out with an
-        # explicit sweep_mode=.
-        if (self.epsilon < 1e-8 and model.needs_dataset
+        # explicit sweep_mode=. Mesh runs keep the scan sweep: routing
+        # would fight the GP task-pool sharding (models/gp.py mesh=).
+        if (self.epsilon < 1e-8 and model.needs_dataset and mesh is None
                 and jax.default_backend() not in ("cpu",)):
             return "host_cpu"
         # all built-in models are scan-safe: the NM mode uses the
@@ -485,7 +486,7 @@ class Parareal:
 
         fanout = self._make_fanout(mesh)
         sweep_cache = {}
-        sweep_mode = self._resolve_sweep_mode(sweep_mode, model)
+        sweep_mode = self._resolve_sweep_mode(sweep_mode, model, mesh)
         # sync_mode='fast': drop the per-phase device syncs inside the
         # k-loop (each is a host round-trip — ~30-50 ms through the axon
         # relay) and sync ONCE per iteration at the convergence check.
