@@ -27,11 +27,11 @@ BASELINE_SPEEDUP = 8.08
 BASELINE_K = 14
 
 # Last recorded on-chip measurement of this exact benchmark (BENCHMARKS.md
-# round 3, Pallas ds32 fine path: runtime 11.4 s, K=12). Reported ONLY as
-# an explicitly-marked stale fallback when the TPU worker is down at bench
-# time (the axon worker sporadically kernel-faults and backend init then
-# blocks ~25 min — long past any sane bench timeout).
-LAST_RECORDED = {"value": 516.0, "runtime_s": 11.4, "K": 12}
+# round 4, fine='auto' -> Pallas ds32: runtime 11.493 s, K=12). Reported
+# ONLY as an explicitly-marked stale fallback when the TPU worker is down
+# at bench time (the axon worker sporadically kernel-faults and backend
+# init then blocks ~25 min — long past any sane bench timeout).
+LAST_RECORDED = {"value": 511.36, "runtime_s": 11.493, "K": 12}
 
 
 def _chip_healthy(timeout_s=300):
