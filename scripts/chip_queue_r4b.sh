@@ -1,0 +1,99 @@
+#!/bin/bash
+# Round-4 queue, part B — the post-gp512 remainder of chip_queue_r4.sh,
+# REORDERED mid-round by remaining-time value:
+#   1. nnGP-time Lorenz   — the last partial component (C15); short cap
+#   2. Table-2 5e-9 nnGP  — validates the host_cpu precision router
+#                           (VERDICT item 6 done-criterion)
+#   3. small-N probe + Hopf ds rows 128/64/32 — fill the missing
+#                           BENCHMARKS Hopf timing rows (item 5)
+#   4. pallas_bench       — refresh MFU timing inputs (item 4)
+#   5. Cholesky crossover — score_lanes default decision (weak #5)
+#   6. microbench         — 0.0-s sync-anomaly validation (weak #6)
+#   7. long tails: hopf512 ds re-run, mr8 A/B, gpgrid Table-2 loop,
+#      across-m NM seeds
+# Same bounded-step + re-probe structure as chip_queue_r4.sh.
+cd /root/repo
+LOG=results/logs/chipqueue.log
+# Hard deadline (epoch seconds, env QUEUE_DEADLINE): no NEW step starts
+# after it, so the round-end driver bench gets the chip uncontended.
+DEADLINE=${QUEUE_DEADLINE:-0}
+guard() {
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "CHIPQUEUE R4B deadline reached, stopping $(date +%H:%M:%S)" >> "$LOG"
+    exit 0
+  fi
+}
+probe() {
+  until timeout 420 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices(), flush=True)
+print(float((jnp.ones((8,128))*2).sum()), flush=True)
+" >> "$LOG" 2>&1; do
+    echo "[probe] chip unhealthy $(date +%H:%M:%S)" >> "$LOG"
+    sleep 240
+  done
+  echo "[probe] chip healthy $(date +%H:%M:%S)" >> "$LOG"
+}
+clamp_to() { # echo min(timeout, seconds-to-deadline)
+  local to=$1
+  if [ "$DEADLINE" -gt 0 ]; then
+    local left=$((DEADLINE - $(date +%s)))
+    [ "$left" -lt "$to" ] && to=$left
+  fi
+  echo "$to"
+}
+step() { # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  guard
+  to=$(clamp_to "$to")
+  echo "=== step $name start (cap ${to}s) $(date +%H:%M:%S)" >> "$LOG"
+  timeout "$to" "$@" >> "$LOG" 2>&1
+  echo "=== step $name rc=$? end $(date +%H:%M:%S)" >> "$LOG"
+}
+retry_resumable() { # name attempts timeout args...
+  local name=$1 n=$2 to=$3; shift 3
+  for i in $(seq 1 "$n"); do
+    guard
+    local cap; cap=$(clamp_to "$to")
+    echo "=== $name attempt $i (cap ${cap}s) $(date +%H:%M:%S)" >> "$LOG"
+    timeout "$cap" python scripts/run_resumable.py "$@" >> "$LOG" 2>&1 && return 0
+    echo "--- $name attempt $i failed (rc=$?)" >> "$LOG"
+    probe
+  done
+  return 1
+}
+
+probe
+retry_resumable nngp-time-chip 4 3600 Lorenz nngp-time 5e-7 \
+  nn=11 nn_iters=20 n_restarts=20 reps=10 tag=tpu sweep=host
+probe
+step t2_5e9_router 10800 python scripts/table2_tpu.py 5e-9 ds nngp-grid
+probe
+step smalln_probe 3000 python scripts/smalln_probe.py 32 64 128
+probe
+step hopf128_ds 3000 python scripts/hopf512_e2e.py 128 0 ds
+probe
+step hopf64_ds 2400 python scripts/hopf512_e2e.py 64 0 ds
+probe
+step hopf32_ds 2400 python scripts/hopf512_e2e.py 32 0 ds
+probe
+step pallas_bench 2400 python scripts/pallas_bench.py
+probe
+step bench_fast 1500 env BENCH_SYNC=fast python bench.py
+probe
+step gp_chol_f64 2400 python scripts/gp_chol_bench.py f64 32 64 128 256 512
+probe
+step gp_chol_f32 2400 python scripts/gp_chol_bench.py f32 32 64 128 256 512
+probe
+step microbench 3600 python scripts/microbench.py
+probe
+step smallb_burgers 2400 python scripts/smalln_probe.py burgers
+probe
+step hopf512_ds 4500 python scripts/hopf512_e2e.py 512 0 ds
+probe
+step hopf64_mr8 2400 python scripts/hopf512_e2e.py 64 0 ds 8
+probe
+step gpgrid_t2 21600 bash scripts/gpgrid_tpu_loop.sh Hopf Rossler Brusselator Lorenz DblPend
+probe
+step across_m_nm 14400 python scripts/burgers_across_m_tpu.py 5.9 7 nm 18 14
+echo "CHIPQUEUE R4B DONE $(date +%H:%M:%S)" >> "$LOG"
