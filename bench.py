@@ -34,7 +34,7 @@ BASELINE_K = 14
 LAST_RECORDED = {"value": 511.36, "runtime_s": 11.493, "K": 12}
 
 
-def _chip_healthy(timeout_s=300):
+def _chip_healthy(timeout_s=420):
     """Bounded health probe in a subprocess (see utils/chip.py): a hung
     backend init cannot be interrupted in-process, and the probe must also
     verify the answering backend is not a silent CPU fallback — otherwise
@@ -56,7 +56,7 @@ def main():
                      "no fresh measurement. Last recorded on-chip result "
                      "of this exact benchmark is included for reference "
                      "only — it is NOT this run's value.",
-            "stale_from": "BENCHMARKS.md round-3 Pallas ds32 run",
+            "stale_from": "BENCHMARKS.md round-4 fine='auto' Pallas ds32 run",
             "last_recorded": LAST_RECORDED,
         }
         print(json.dumps({"detail": info}), file=sys.stderr)
