@@ -1,16 +1,20 @@
 #!/bin/bash
 # Round-4 queue, part B — the post-gp512 remainder of chip_queue_r4.sh,
-# REORDERED mid-round by remaining-time value:
-#   1. nnGP-time Lorenz   — the last partial component (C15); short cap
-#   2. Table-2 5e-9 nnGP  — validates the host_cpu precision router
-#                           (VERDICT item 6 done-criterion)
-#   3. small-N probe + Hopf ds rows 128/64/32 — fill the missing
-#                           BENCHMARKS Hopf timing rows (item 5)
-#   4. pallas_bench       — refresh MFU timing inputs (item 4)
-#   5. Cholesky crossover — score_lanes default decision (weak #5)
-#   6. microbench         — 0.0-s sync-anomaly validation (weak #6)
-#   7. long tails: hopf512 ds re-run, mr8 A/B, gpgrid Table-2 loop,
-#      across-m NM seeds
+# REORDERED (again, under the 14:00 deadline) by value-per-chip-minute:
+#   1. BENCH_SYNC=fast A/B — 25 min cap; if it wins, the bench.py default
+#                           flips and the round-end headline improves
+#   2. nnGP-time Lorenz   — the last partial component (C15); 2 bounded
+#                           attempts (checkpoints accumulate across them)
+#   3. small-N probe      — pick the min_rows winner (item 5)
+#   4. Table-2 5e-9 nnGP  — validates the host_cpu precision router
+#                           (item 6 done-criterion; rows dump per-system,
+#                           so a deadline clamp still keeps partials)
+#   5. Hopf ds rows 128/64/32 — the missing BENCHMARKS timing rows
+#   6. pallas_bench       — refresh MFU timing inputs (item 4)
+#   7. Cholesky crossover — score_lanes default decision (weak #5)
+#   8. microbench         — 0.0-s sync-anomaly validation (weak #6)
+#   9. long tails: Burgers small-B, hopf512 ds re-run, mr8 A/B, gpgrid
+#      Table-2 loop, across-m NM seeds
 # Same bounded-step + re-probe structure as chip_queue_r4.sh.
 cd /root/repo
 LOG=results/logs/chipqueue.log
@@ -64,12 +68,14 @@ retry_resumable() { # name attempts timeout args...
 }
 
 probe
-retry_resumable nngp-time-chip 4 3600 Lorenz nngp-time 5e-7 \
+step bench_fast 1500 env BENCH_SYNC=fast python bench.py
+probe
+retry_resumable nngp-time-chip 2 3600 Lorenz nngp-time 5e-7 \
   nn=11 nn_iters=20 n_restarts=20 reps=10 tag=tpu sweep=host
 probe
-step t2_5e9_router 10800 python scripts/table2_tpu.py 5e-9 ds nngp-grid
-probe
 step smalln_probe 3000 python scripts/smalln_probe.py 32 64 128
+probe
+step t2_5e9_router 7200 python scripts/table2_tpu.py 5e-9 ds nngp-grid
 probe
 step hopf128_ds 3000 python scripts/hopf512_e2e.py 128 0 ds
 probe
@@ -78,8 +84,6 @@ probe
 step hopf32_ds 2400 python scripts/hopf512_e2e.py 32 0 ds
 probe
 step pallas_bench 2400 python scripts/pallas_bench.py
-probe
-step bench_fast 1500 env BENCH_SYNC=fast python bench.py
 probe
 step gp_chol_f64 2400 python scripts/gp_chol_bench.py f64 32 64 128 256 512
 probe
