@@ -14,7 +14,9 @@ def test_scipy_fine_matches_rk():
     ode = FHNODE(normalization="-11")
     f = ode.get_vector_field()
     rk = RKSolver(f, 4, 1500, G="RK2", F="RK4")
-    sp = ScipySolver(f, 4, 1500, G="RK2", F="RK4", rtol=1e-10, atol=1e-12)
+    # scipy tolerance only needs to sit well under the 1e-7 assert below;
+    # 1e-9 halves the adaptive RK23 step count vs 1e-10 (suite wall)
+    sp = ScipySolver(f, 4, 1500, G="RK2", F="RK4", rtol=1e-9, atol=1e-11)
     u0 = ode.get_init_cond()
     a = np.asarray(rk.run_F(0.0, 1.0, u0))
     b = np.asarray(sp.run_F(0.0, 1.0, u0))
