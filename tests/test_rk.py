@@ -152,8 +152,10 @@ def test_batched_paged_contract():
     t0s = jnp.zeros(4)
     t1s = jnp.full(4, 0.05)
 
-    paged = make_batched_last_integrator(fv, "RK4", 300, thresh=128)
-    flat = make_batched_last_integrator(fv, "RK4", 300, thresh=10**9)
+    # 120 steps / thresh 48 keeps the multi-page structure (4*120/48 = 10
+    # pages) at 2.5x less dispatch+compile than the original 300/128
+    paged = make_batched_last_integrator(fv, "RK4", 120, thresh=48)
+    flat = make_batched_last_integrator(fv, "RK4", 120, thresh=10**9)
     assert getattr(paged, "paged", False) and not getattr(flat, "paged", False)
     np.testing.assert_allclose(np.asarray(paged(t0s, t1s, U)),
                                np.asarray(flat(t0s, t1s, U)), rtol=1e-12)
@@ -161,8 +163,8 @@ def test_batched_paged_contract():
     paged.warm(t0s, t1s, U)
 
     f_ds = ds_lift(fv)
-    paged_ds = make_batched_last_integrator_ds(f_ds, "RK4", 300, thresh=128)
-    flat_ds = make_batched_last_integrator_ds(f_ds, "RK4", 300, thresh=10**9)
+    paged_ds = make_batched_last_integrator_ds(f_ds, "RK4", 120, thresh=48)
+    flat_ds = make_batched_last_integrator_ds(f_ds, "RK4", 120, thresh=10**9)
     assert getattr(paged_ds, "paged", False)
     assert not getattr(flat_ds, "paged", False)
     np.testing.assert_allclose(np.asarray(paged_ds(t0s, t1s, U)),
