@@ -20,8 +20,12 @@ cd /root/repo
 LOG=results/logs/chipqueue.log
 # Hard deadline (epoch seconds, env QUEUE_DEADLINE): no NEW step starts
 # after it, so the round-end driver bench gets the chip uncontended.
+# /tmp/queue_deadline (epoch seconds), if present, overrides the env at
+# every guard — lets a later session extend/shrink the window for a
+# queue that is already running.
 DEADLINE=${QUEUE_DEADLINE:-0}
 guard() {
+  [ -f /tmp/queue_deadline ] && DEADLINE=$(cat /tmp/queue_deadline)
   if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
     echo "CHIPQUEUE R4B deadline reached, stopping $(date +%H:%M:%S)" >> "$LOG"
     exit 0
@@ -90,6 +94,10 @@ probe
 step gp_chol_f32 2400 python scripts/gp_chol_bench.py f32 32 64 128 256 512
 probe
 step microbench 3600 python scripts/microbench.py
+probe
+# gp512 finisher: if the 11:45 sub-deadline parked it unconverged, the
+# checkpoints carry straight on here (resumable, cheap if already done)
+retry_resumable gp512-finish 2 5400 Hopf:512 gpjax-grid 5e-7 nf_mul=10000 score=f32
 probe
 step smallb_burgers 2400 python scripts/smalln_probe.py burgers
 probe
