@@ -46,6 +46,7 @@ class GParareal(ModelBase):
         grid_logs=None,
         score_lanes=False,
         mesh=None,
+        alpha_res_tol=1e-6,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -98,6 +99,10 @@ class GParareal(ModelBase):
         # XLA cholesky per candidate. Opt-in pending the on-chip
         # crossover measurement (scripts/gp_chol_bench.py).
         self.score_lanes = bool(score_lanes)
+        # posterior-solve validation (see _validate_alphas): residual
+        # tolerance for accepting the final f64 alpha fit
+        self.alpha_res_tol = float(alpha_res_tol)
+        self.alpha_rejects = []  # (k, coord, rel, to) audit trail
         # mesh: shard the grid hyperopt's (coord x jitter) task pool over
         # a device mesh — the TPU-native answer to the reference training
         # its full-GP tasks over the MPI worker pool (models.py:386-421,
@@ -182,6 +187,26 @@ class GParareal(ModelBase):
                 return alpha
 
             return lax.map(coord_fn, (th, jv, D.T))  # (n, CAP)
+
+        def alpha_resid(X, D, valid, th, jv, alpha):
+            """Relative residual ||(K+jI) a - y|| / ||y|| per coordinate.
+
+            A backward-stable Cholesky solve keeps this at O(m * eps)
+            even for ill-conditioned Grams, so it cleanly separates a
+            usable posterior from a failed factorisation (NaN alpha, or
+            finite garbage from a near-zero pivot)."""
+            sqd_xx = gpops.pairwise_sq_dists(X, X)
+
+            def coord_fn(args):
+                th_j, jv_j, y, a = args
+                K = gpops.k_se_linear(sqd_xx, th_j)
+                Kj = gpops._masked_gram(K, valid, jv_j)
+                ym = y * valid
+                r = Kj @ a - ym
+                return jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(
+                    jnp.sqrt(jnp.sum(ym * ym)), 1e-300)
+
+            return lax.map(coord_fn, (th, jv, D.T, alpha))  # (n,)
 
         def fit_grid(X, Ycols, valid, grids, jp):
             """Dense theta search over one SLICE of the task pool:
@@ -271,6 +296,7 @@ class GParareal(ModelBase):
             jax.jit(alphas),
             make_obj,
             fit_grid_exec,
+            jax.jit(alpha_resid),
         )
         self._fit_cache[cap] = fns
         return fns
@@ -293,10 +319,11 @@ class GParareal(ModelBase):
         rows = min((k + 1) * self.N, ds.capacity)
         B = self._bucket(rows, ds.capacity)
         dsX, dsD, dsV = ds.X[:B], ds.D[:B], ds.valid[:B]
-        fit_warm, alphas, make_obj, fit_grid = self._get_fns(B)
+        fit_warm, alphas, make_obj, fit_grid, alpha_resid = self._get_fns(B)
 
+        cand = None
         if self.optimizer == "grid":
-            th, jv, fv = self._fit_grid_search(fit_grid, dsX, dsD, dsV)
+            th, jv, fv, cand = self._fit_grid_search(fit_grid, dsX, dsD, dsV)
             bad = np.where(~np.isfinite(fv))[0]
             if bad.size:
                 # A coordinate with no finite NLL anywhere on the widened
@@ -331,11 +358,14 @@ class GParareal(ModelBase):
             if bad.size:
                 th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
 
+        alpha = alphas(dsX, dsD, dsV, jnp.asarray(th), jnp.asarray(jv))
+        th, jv, fv, alpha = self._validate_alphas(
+            alphas, alpha_resid, dsX, dsD, dsV,
+            np.array(th), np.array(jv), np.asarray(fv, float), alpha, cand)
         self.thetas = th
         self.jitter_sel = jv
         self.fvals = fv  # per-coordinate winning NLLs (diagnostics/tests)
         self.hyp[..., min(k + 1, self.N - 1)] = th
-        alpha = alphas(dsX, dsD, dsV, jnp.asarray(th), jnp.asarray(jv))
         # zero-pad alpha back to capacity: padded k_star rows hit zeros
         alpha_full = jnp.zeros((self.n, ds.capacity))
         alpha_full = alpha_full.at[:, :B].set(alpha)
@@ -429,7 +459,86 @@ class GParareal(ModelBase):
         th_best = np.take_along_axis(th, best[:, None, None], 1)[:, 0, :]
         jv_best = self._jitters[best]
         fv_best = np.take_along_axis(fv, best[:, None], 1)[:, 0]
-        return th_best, np.asarray(jv_best, float), fv_best
+        # candidate table for posterior validation: the per-jitter grid
+        # winners, ranked by NLL in _validate_alphas when the top pick's
+        # f64 solve turns out unusable
+        cand = (th, fv)
+        return th_best, np.asarray(jv_best, float), fv_best, cand
+
+    def _validate_alphas(self, alphas, alpha_resid, dsX, dsD, dsV,
+                         th, jv, fv, alpha, cand=None):
+        """Reject posterior solves the corrector would silently discard.
+
+        The NLL *scoring* (optionally down-cast, ``score_dtype``) and the
+        final f64 alpha solve can disagree near singularity: a theta whose
+        scored NLL is finite may produce a Gram that is numerically
+        indefinite in (possibly emulated) f64 — ``jnp.linalg.cholesky``
+        then yields NaN alphas, every prediction trips the driver's
+        finite-guard (driver.py:348-354), and GParareal silently
+        degenerates to bare Parareal (observed: the Hopf N=512 grid run
+        crawled at +3 converged intervals/iter for 10 iterations, its
+        11.8k-point Gram failing IEEE-f64 Cholesky at the selected
+        theta while the f32 score had called it the best candidate).
+
+        Guard: a backward-stable solve has relative residual O(m*eps)
+        (~1e-10 at 49-bit, m=16k) regardless of conditioning, so
+        ``alpha_res_tol`` separates usable posteriors from failed ones.
+        Bad coordinates first walk down the grid's per-jitter candidate
+        ranking (``cand``), then escalate jitter above the selection
+        grid's ceiling — the deterministic equivalent of the reference's
+        random-restart-until-finite rescue (models.py:358-384).
+        """
+        tol = self.alpha_res_tol
+        jit_cap = -4.0
+        nj = len(self._jitters)
+
+        def bad_coords(a):
+            rel = np.asarray(alpha_resid(dsX, dsD, dsV, jnp.asarray(th),
+                                         jnp.asarray(jv), a))
+            return np.where(~(rel < tol))[0], rel  # NaN counts as bad
+
+        bad, rel = bad_coords(alpha)
+        if not bad.size:
+            return th, jv, fv, alpha
+
+        # phase 1: next-best grid candidates by NLL (skip rank 0 = the
+        # already-failed argmin pick)
+        if cand is not None:
+            th_nj, fv_nj = cand
+            order = np.argsort(fv_nj, axis=1)
+            for rank in range(1, nj):
+                for c in bad:
+                    j = order[c, rank]
+                    if np.isfinite(fv_nj[c, j]):
+                        self.alpha_rejects.append(dict(
+                            k=self.k, coord=int(c), rel=float(rel[c]),
+                            to=(float(self._jitters[j]),
+                                th_nj[c, j].tolist())))
+                        th[c] = th_nj[c, j]
+                        jv[c] = self._jitters[j]
+                        fv[c] = fv_nj[c, j]
+                alpha = alphas(dsX, dsD, dsV, jnp.asarray(th),
+                               jnp.asarray(jv))
+                bad, rel = bad_coords(alpha)
+                if not bad.size:
+                    return th, jv, fv, alpha
+
+        # phase 2: escalate jitter beyond the selection grid's ceiling
+        while bad.size and np.all(jv[bad] < jit_cap):
+            for c in bad:
+                self.alpha_rejects.append(dict(
+                    k=self.k, coord=int(c), rel=float(rel[c]),
+                    to=(float(jv[c]) + 2.0, th[c].tolist())))
+                jv[c] = jv[c] + 2.0
+            alpha = alphas(dsX, dsD, dsV, jnp.asarray(th), jnp.asarray(jv))
+            bad, rel = bad_coords(alpha)
+
+        if bad.size:
+            print(f"[gp] WARNING: posterior solve unusable on coords "
+                  f"{bad.tolist()} (rel res {rel[bad].tolist()}) after "
+                  f"candidate walk + jitter escalation; the sweep's "
+                  f"finite-guard will fall back to plain parareal there")
+        return th, jv, fv, alpha
 
     def _rescue(self, dsX, dsD, dsV, th, jv, fv, bad, max_attempts=20):
         """Random-restart rescue for +inf coords (models.py:358-384).

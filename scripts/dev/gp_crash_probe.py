@@ -47,7 +47,7 @@ valid = np.zeros(CAP); valid[:rows] = 1.0
 mdl = GParareal(n, N, nm_max_iters=400, fatol=1e-6, xatol=1e-6,
                 score_dtype=DT,
                 optimizer=os.environ.get("GP_PROBE_OPT", "nm"))
-fit_warm, alphas, make_obj, fit_grid = mdl._get_fns(CAP)
+fit_warm, alphas, make_obj, fit_grid, _resid = mdl._get_fns(CAP)
 
 dsX, dsD, dsV = jnp.asarray(X), jnp.asarray(D), jnp.asarray(valid)
 nj = 9

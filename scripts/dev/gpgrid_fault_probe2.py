@@ -69,7 +69,7 @@ print("rows:", int(np.sum(V[:B])), "bucket:", B, "n:", n, "T:", n * 9,
       flush=True)
 
 mdl = GParareal(n, N, optimizer="grid", **kw)
-_, _, _, fit_grid = mdl._get_fns(B)
+fit_grid = mdl._get_fns(B)[3]
 dsX, dsD, dsV = jnp.asarray(X[:B]), jnp.asarray(D[:B]), jnp.asarray(V[:B])
 
 t0 = time.time()
