@@ -101,10 +101,13 @@ def main():
     # grid hyperopt: the TPU-native deterministic theta search (same
     # candidate support as the reference's NM random starts; K parity
     # verified on the paper systems — see PARITY.md).
-    # BENCH_SYNC=fast drops the per-phase relay syncs (~3 x 30-50 ms per
+    # sync_mode='fast' drops the per-phase relay syncs (~3 x 30-50 ms per
     # iteration) for one sync at the convergence check — identical
-    # trajectories (tests/test_host_cpu_sweep.py), coarser timing splits.
-    sync = os.environ.get("BENCH_SYNC", "attrib")
+    # trajectories (tests/test_host_cpu_sweep.py), coarser timing splits
+    # (the per-iteration work lands in fused_iter_s). Default since the
+    # round-4 on-chip A/B: 10.71 s vs 11.49 s attrib (548.96x vs 511.4x);
+    # BENCH_SYNC=attrib restores the fully-attributed splits.
+    sync = os.environ.get("BENCH_SYNC", "fast")
     out = p.run(model="nngp", nn=18, seed=45, optimizer="grid",
                 sync_mode=sync)
 
