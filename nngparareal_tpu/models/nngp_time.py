@@ -173,12 +173,17 @@ class NNGPTime(ModelBase):
         th_ones = jnp.ones((chains, 9, 1, 4))
         x0 = jnp.concatenate([th_rand, th_ones], axis=2).reshape(-1, 4)
 
-        best_fv = jnp.full((chains,), jnp.inf)
-        best_th = jnp.ones((chains, 4))
-        best_jit = jnp.full((chains,), -16.0)
-        best_idx = idx_cur
-
-        for _round in range(self.nn_iters):
+        def refine_round(carry, _):
+            """One refinement round (nnGPara_with_time.py:550-616): fit all
+            (chain x task) simplexes on the current neighbourhoods, keep
+            per-chain bests, re-select rows by kernel similarity. A
+            ``lax.scan`` body rather than a Python loop: the unrolled
+            version emitted ``nn_iters`` copies of the batched-NM scan in
+            ONE sweep executable, which at the full Lorenz config
+            (nn_iters=20, 5670 simplexes) kernel-faulted the axon TPU
+            worker (round-3/4 crashes at driver.py _block) and retraced
+            minutes of XLA compile per capacity bucket on CPU."""
+            best_fv, best_th, best_jit, best_idx, idx_cur = carry
             ym_c, mask_c, s_c, qs_c = jax.vmap(gather_chain)(idx_cur)
             y_c = jax.vmap(lambda ym, c: jnp.take(ym, c, axis=1))(
                 ym_c, coord_of_chain
@@ -221,17 +226,30 @@ class NNGPTime(ModelBase):
             best_jit = jnp.where(improve, jv_best, best_jit)
             best_idx = jnp.where(improve[:, None], idx_cur, best_idx)
 
-            if _round + 1 < self.nn_iters:
-                # kernel-similarity re-selection under this round's theta
-                def similarity(th):
-                    stack_all = jnp.stack(
-                        [d2_space_all, d2_int_all, d2_iter_all]
-                    )
-                    s = k_se_time(stack_all, th)
-                    return jnp.where(valid > 0, s, -jnp.inf)
+            # kernel-similarity re-selection under this round's theta
+            # (computed on the last round too and discarded — keeps the
+            # body round-independent so it scans)
+            def similarity(th):
+                stack_all = jnp.stack(
+                    [d2_space_all, d2_int_all, d2_iter_all]
+                )
+                s = k_se_time(stack_all, th)
+                return jnp.where(valid > 0, s, -jnp.inf)
 
-                sims = jax.vmap(similarity)(th_best)  # (chains, cap)
-                _, idx_cur = jax.lax.top_k(sims, m)
+            sims = jax.vmap(similarity)(th_best)  # (chains, cap)
+            _, idx_cur = jax.lax.top_k(sims, m)
+            return (best_fv, best_th, best_jit, best_idx, idx_cur), None
+
+        carry0 = (
+            jnp.full((chains,), jnp.inf),
+            jnp.ones((chains, 4)),
+            jnp.full((chains,), -16.0),
+            idx_cur,
+            idx_cur,
+        )
+        (best_fv, best_th, best_jit, best_idx, _), _ = jax.lax.scan(
+            refine_round, carry0, None, length=self.nn_iters
+        )
 
         # per coordinate: best chain among its reps
         fv_cr = best_fv.reshape(n, R)
