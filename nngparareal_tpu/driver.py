@@ -670,12 +670,25 @@ class Parareal:
             return c
 
         # --- warmup (exclude compiles from timings) ---
+        # warmup_split attributes the warmup wall per phase (round-5
+        # VERDICT item 6: the flagship bench's 612 s "jit_compile_s" was
+        # opaque — fan/sweep XLA compiles vs relay executable loads vs
+        # real warm executions booked as compile)
+        warmup_split = {}
+
+        def _wphase(name, t0):
+            warmup_split[name] = round(time.perf_counter() - t0, 3)
+            return time.perf_counter()
+
         warmup_t0 = time.perf_counter()
         if warmup:
+            tic_w = warmup_t0
             ensure_fan_compiled(
                 (t_dev[:-1], t_dev[1:], jnp.tile(u0_dev, (N, 1))), book=False
             )
+            tic_w = _wphase("fan_compile", tic_w)
             _block(solver.run_G_chain(t_dev, u0_dev))
+            tic_w = _wphase("g_chain", tic_w)
             if measure_serial_fine:
                 # serial-fine cost estimator: replicated micro-batch.
                 # Degenerate single-slice long loops are pathological AND
@@ -688,6 +701,7 @@ class Parareal:
                     jnp.full(bm, t[0]), jnp.full(bm, t[1]),
                     jnp.tile(u0_dev, (bm, 1)),
                 ))
+                tic_w = _wphase("serial_fine_warm", tic_w)
             saved = model.get_ckpt_state()
             if model.needs_dataset:
                 if sweep_mode == "host_cpu":
@@ -702,6 +716,7 @@ class Parareal:
                         model.fit(ds_w, 0)
                 else:
                     model.fit(ds, 0)
+                tic_w = _wphase("warmup_fit", tic_w)
             aux = model.sweep_aux(0, N, ds.capacity)
             if aux is None:
                 aux = jnp.zeros((N, 1))
@@ -724,6 +739,7 @@ class Parareal:
             # ckpt state), so warmup draws stay invisible to the run AND
             # a resumed stream is not clobbered back to the seed
             model.set_ckpt_state(saved)
+            _wphase("sweep_compile", tic_w)
         warmup_t = time.perf_counter() - warmup_t0
         core_t0 = time.perf_counter()
 
@@ -1009,6 +1025,10 @@ class Parareal:
             # one-time jit compiles (the reference pays none; its runtime
             # has no analogue of this)
             "warmup_t": warmup_t + lazy_compile_t,
+            # per-phase warmup attribution (compile vs warm-execution);
+            # in-loop lazy compiles are the separate lazy_compile_t term
+            "warmup_split": dict(warmup_split,
+                                 lazy_compile=round(lazy_compile_t, 3)),
             # wall clock of the solve proper: coarse init + k-loop,
             # excluding jit compiles and the one-off single-slice
             # serial-fine measurement

@@ -103,6 +103,9 @@ class GParareal(ModelBase):
         # tolerance for accepting the final f64 alpha fit
         self.alpha_res_tol = float(alpha_res_tol)
         self.alpha_rejects = []  # (k, coord, rel, to) audit trail
+        # fits whose posterior stayed unusable after the full walk —
+        # surfaced in get_times() so queue guards key on data, not logs
+        self.alpha_unusable = []
         # mesh: shard the grid hyperopt's (coord x jitter) task pool over
         # a device mesh — the TPU-native answer to the reference training
         # its full-GP tasks over the MPI worker pool (models.py:386-421,
@@ -359,9 +362,18 @@ class GParareal(ModelBase):
                 th, jv, fv = self._rescue(dsX, dsD, dsV, th, jv, fv, bad)
 
         alpha = alphas(dsX, dsD, dsV, jnp.asarray(th), jnp.asarray(jv))
-        th, jv, fv, alpha = self._validate_alphas(
-            alphas, alpha_resid, dsX, dsD, dsV,
-            np.array(th), np.array(jv), np.asarray(fv, float), alpha, cand)
+        n_valid = int(np.asarray(dsV).sum())
+        if n_valid:
+            th, jv, fv, alpha = self._validate_alphas(
+                alphas, alpha_resid, dsX, dsD, dsV,
+                np.array(th), np.array(jv), np.asarray(fv, float), alpha,
+                cand, n_valid=n_valid)
+        else:
+            # warmup/compile fit against an all-invalid dataset: the
+            # residual check is vacuous (masked Gram is the identity,
+            # y is all-zero), so validation is skipped — a healthy run
+            # must never print the unusable-posterior warning for it
+            th, jv, fv = np.array(th), np.array(jv), np.asarray(fv, float)
         self.thetas = th
         self.jitter_sel = jv
         self.fvals = fv  # per-coordinate winning NLLs (diagnostics/tests)
@@ -466,7 +478,7 @@ class GParareal(ModelBase):
         return th_best, np.asarray(jv_best, float), fv_best, cand
 
     def _validate_alphas(self, alphas, alpha_resid, dsX, dsD, dsV,
-                         th, jv, fv, alpha, cand=None):
+                         th, jv, fv, alpha, cand=None, n_valid=None):
         """Reject posterior solves the corrector would silently discard.
 
         The NLL *scoring* (optionally down-cast, ``score_dtype``) and the
@@ -523,9 +535,14 @@ class GParareal(ModelBase):
                 if not bad.size:
                     return th, jv, fv, alpha
 
-        # phase 2: escalate jitter beyond the selection grid's ceiling
-        while bad.size and np.all(jv[bad] < jit_cap):
-            for c in bad:
+        # phase 2: escalate jitter beyond the selection grid's ceiling —
+        # per coordinate: a coord that hits the cap must not end the
+        # escalation for coords still below it (round-4 advisor)
+        while bad.size:
+            esc = bad[jv[bad] < jit_cap]
+            if not esc.size:
+                break
+            for c in esc:
                 self.alpha_rejects.append(dict(
                     k=self.k, coord=int(c), rel=float(rel[c]),
                     to=(float(jv[c]) + 2.0, th[c].tolist())))
@@ -534,10 +551,14 @@ class GParareal(ModelBase):
             bad, rel = bad_coords(alpha)
 
         if bad.size:
-            print(f"[gp] WARNING: posterior solve unusable on coords "
-                  f"{bad.tolist()} (rel res {rel[bad].tolist()}) after "
-                  f"candidate walk + jitter escalation; the sweep's "
-                  f"finite-guard will fall back to plain parareal there")
+            self.alpha_unusable.append(dict(
+                k=self.k, coords=bad.tolist(),
+                rel=[float(r) for r in rel[bad]], n_valid=n_valid))
+            print(f"[gp] WARNING: k={self.k} posterior solve unusable on "
+                  f"coords {bad.tolist()} (rel res {rel[bad].tolist()}, "
+                  f"{n_valid} valid rows) after candidate walk + jitter "
+                  f"escalation; the sweep's finite-guard will fall back "
+                  f"to plain parareal there")
         return th, jv, fv, alpha
 
     def _rescue(self, dsX, dsD, dsV, th, jv, fv, bad, max_attempts=20):
@@ -611,6 +632,14 @@ class GParareal(ModelBase):
 
     # --- checkpoint ---
 
+    def get_times(self):
+        # counts (not the full audit dicts): queue guards key on these
+        # instead of grepping logs for the unusable-posterior warning
+        out = super().get_times()
+        out.update(alpha_rejects=len(self.alpha_rejects),
+                   alpha_unusable=len(self.alpha_unusable))
+        return out
+
     def get_ckpt_state(self):
         out = super().get_ckpt_state()
         out.update(
@@ -618,6 +647,8 @@ class GParareal(ModelBase):
             jitter_sel=self.jitter_sel,
             hyp=self.hyp,
             k=self.k,
+            alpha_rejects=self.alpha_rejects,
+            alpha_unusable=self.alpha_unusable,
         )
         return out
 
@@ -627,3 +658,5 @@ class GParareal(ModelBase):
         self.jitter_sel = np.asarray(state["jitter_sel"])
         self.hyp = np.asarray(state["hyp"])
         self.k = int(state["k"])
+        self.alpha_rejects = list(state.get("alpha_rejects", []))
+        self.alpha_unusable = list(state.get("alpha_unusable", []))

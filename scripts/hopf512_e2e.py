@@ -46,10 +46,33 @@ def main():
     tm = out["timings"]
     print("K =", out["k"], "converged", out["converged"], flush=True)
     print("conv_int", out["conv_int"], flush=True)
-    print({k: round(v, 2) for k, v in tm.items() if np.isscalar(v)}, flush=True)
-    print("est_serial", round(est_serial(out, N), 1),
-          "SPEEDUP", round(calc_speedup(out, N=N), 2),
-          "wall", round(time.time() - t0, 1), flush=True)
+    # numeric scalars only: timings also carries strings (sync_mode,
+    # sweep_mode) and dicts (warmup_split) — round() on those threw and
+    # cost the round-5 hopf128 row its timing printout
+    print({k: round(float(v), 2) for k, v in tm.items()
+           if isinstance(v, (int, float, np.floating, np.integer))},
+          flush=True)
+    row = dict(
+        system="Hopf", N=N, fine=fine, min_rows=min_rows,
+        K=int(out["k"]), converged=bool(out["converged"]),
+        runtime_s=round(float(tm["runtime"]), 3),
+        est_serial_s=round(float(est_serial(out, N)), 1),
+        speedup=round(float(calc_speedup(out, N=N)), 2),
+        warmup_t=round(float(tm.get("warmup_t", 0.0)), 1),
+        wall_s=round(time.time() - t0, 1),
+    )
+    print("est_serial", row["est_serial_s"], "SPEEDUP", row["speedup"],
+          "wall", row["wall_s"], flush=True)
+    # persist: a crashed print must not lose a half-hour chip run again
+    import json
+    path = "results/hopf_scaling_rows.json"
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f)
+    rows.append(row)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,67 @@ def test_validate_escalates_jitter_without_candidates():
     assert (jv2 > jv).all()  # escalated past the selection ceiling
 
 
+def test_warmup_fit_is_silent(capsys):
+    """A fit against an all-invalid dataset (the driver's warmup/compile
+    fit, driver.py:697-704) must skip posterior validation entirely: the
+    masked Gram is the identity and y is all-zero, so the residual check
+    is vacuous and the unusable-posterior warning on it is pure noise —
+    it cost real chip time in round 4 when queue guards keyed on it."""
+    n, cap = 2, 32
+    ds = Dataset(X=jnp.zeros((cap, n)), D=jnp.zeros((cap, n)),
+                 valid=jnp.zeros(cap))
+    mdl = GParareal(n, 9, optimizer="grid")
+    mdl.fit(ds, 0)
+    out = capsys.readouterr().out
+    assert "posterior solve unusable" not in out
+    assert not mdl.alpha_unusable
+    _, _, alpha = mdl.state
+    assert np.isfinite(np.asarray(alpha)).all()
+
+
+def test_unusable_fit_is_counted_and_stamped(capsys):
+    """When the walk exhausts, the warning must carry k= and the valid
+    row count, and the failure must land in alpha_unusable/get_times so
+    guards can key on data instead of log greps."""
+    ds = _dup_ds()
+    mdl = GParareal(2, 9, optimizer="grid")
+    mdl.k = 3
+    fns = mdl._get_fns(32)
+    alphas, alpha_resid = fns[1], fns[4]
+    th = np.array([[1e6, 1.0], [1e6, 1.0]])
+    jv = np.array([-20.0, -20.0])
+    alpha = alphas(ds.X, ds.D, ds.valid, jnp.asarray(th), jnp.asarray(jv))
+    # impossible tolerance: every solve "fails", the walk exhausts
+    mdl.alpha_res_tol = 1e-300
+    mdl._validate_alphas(alphas, alpha_resid, ds.X, ds.D, ds.valid,
+                         th.copy(), jv.copy(), np.zeros(2), alpha, None,
+                         n_valid=24)
+    out = capsys.readouterr().out
+    assert "k=3" in out and "24 valid rows" in out
+    assert len(mdl.alpha_unusable) == 1
+    assert mdl.get_times()["alpha_unusable"] == 1
+    assert mdl.alpha_unusable[0]["n_valid"] == 24
+
+
+def test_jitter_escalation_is_per_coordinate():
+    """A coordinate that reaches the jitter cap must not end escalation
+    for coords still below it (round-4 advisor finding): start coord 0
+    at the cap and coord 1 at the floor — coord 1 must still be rescued."""
+    ds = _dup_ds()
+    mdl = GParareal(2, 9, optimizer="grid")
+    fns = mdl._get_fns(32)
+    alphas, alpha_resid = fns[1], fns[4]
+    th = np.array([[1e6, 1.0], [1e6, 1.0]])
+    jv = np.array([-4.0, -20.0])  # coord 0 already at jit_cap
+    alpha = alphas(ds.X, ds.D, ds.valid, jnp.asarray(th), jnp.asarray(jv))
+    _, jv2, _, alpha2 = mdl._validate_alphas(
+        alphas, alpha_resid, ds.X, ds.D, ds.valid,
+        th.copy(), jv.copy(), np.zeros(2), alpha, None, n_valid=24)
+    # coord 1 escalated (possibly to usability); with the pre-fix
+    # np.all() gate the loop exited immediately and jv2[1] stayed -20
+    assert jv2[1] > -20.0
+
+
 def test_fit_posterior_always_usable_on_degenerate_data():
     """End-to-end: fit() on a duplicated-point dataset must hand the
     sweep a finite, residual-valid posterior whatever theta the scoring
