@@ -31,6 +31,8 @@ def enable(path="/root/repo/.jax_cache", verbose=False):
     usable for allowlist-excluded backends that can serialize
     executables. Returns True if the cache is live for this backend."""
     if os.environ.get("NNGP_TPU_PERSIST_CACHE", "1") == "0":
+        if verbose:
+            print("[compile-cache] disabled by env", flush=True)
         return False
     jax.config.update("jax_compilation_cache_dir", path)
     # write entries even for fast compiles: the flagship path compiles
@@ -41,11 +43,16 @@ def enable(path="/root/repo/.jax_cache", verbose=False):
 
     try:
         backend = jax.extend.backend.get_backend()
-    except Exception:
+    except Exception as e:
+        if verbose:
+            print(f"[compile-cache] get_backend failed: {e!r}", flush=True)
         return False
     supported = ("tpu", "gpu", "cpu", "neuron")
     if backend.platform not in supported:
         if not getattr(backend, "supports_executable_serialization", True):
+            if verbose:
+                print("[compile-cache] backend cannot serialize "
+                      "executables; cache stays off", flush=True)
             return False
         with cc._cache_initialized_mutex:
             cc._cache_checked = True

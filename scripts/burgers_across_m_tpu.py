@@ -27,6 +27,13 @@ if os.environ.get("ACROSSM_CPU") == "1":
 
 import numpy as np
 
+try:
+    from nngparareal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache(verbose=True)
+except Exception as _e:
+    print(f"[compile-cache] enable failed: {_e!r}", flush=True)
+
 from nngparareal_tpu.systems import Burgers
 from nngparareal_tpu.solver import RKSolver
 from nngparareal_tpu.driver import Parareal

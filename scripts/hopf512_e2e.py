@@ -9,7 +9,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# force-enable the persistent cache for the allowlist-excluded axon relay
+# (setting jax_compilation_cache_dir alone is a no-op there — see
+# utils/compile_cache docstring)
+from nngparareal_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache(verbose=True)
 
 import numpy as np
 import jax.numpy as jnp

@@ -15,6 +15,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:
+    from nngparareal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache(verbose=True)
+except Exception as _e:
+    print(f"[compile-cache] enable failed: {_e!r}", flush=True)
+
 
 def timeit(fn, *args, reps=3):
     # sync via host fetch: through the axon relay block_until_ready can

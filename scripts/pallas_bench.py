@@ -22,6 +22,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:
+    from nngparareal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache(verbose=True)
+except Exception as _e:
+    print(f"[compile-cache] enable failed: {_e!r}", flush=True)
+
 from nngparareal_tpu.systems import Burgers, Hopf, ThomasLabyrinth
 from nngparareal_tpu.ops.rk import make_batched_last_integrator
 from nngparareal_tpu.ops.rk_ds import make_batched_last_integrator_ds

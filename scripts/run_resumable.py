@@ -34,6 +34,16 @@ if os.environ.get("RESUMABLE_CPU") == "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: every resume attempt is a fresh process, so
+# without this each attempt re-pays the full grid/fan-out compile wall
+# (round-4 weak #2 — 612.9 s cold compiles; utils/compile_cache docstring)
+try:
+    from nngparareal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache(verbose=True)
+except Exception as _e:  # diagnostics only — cold compile is the fallback
+    print(f"[compile-cache] enable failed: {_e!r}", flush=True)
+
 from nngparareal_tpu import (
     FHNODE, Rossler, Hopf, DblPend, Brusselator, Lorenz, Config, RKSolver,
     Parareal,

@@ -34,6 +34,13 @@ if FORCE_CPU:
 
     jax.config.update("jax_platforms", "cpu")
 
+try:
+    from nngparareal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache(verbose=True)
+except Exception as _e:
+    print(f"[compile-cache] enable failed: {_e!r}", flush=True)
+
 from nngparareal_tpu import (
     FHNODE, Rossler, Hopf, DblPend, Brusselator, Lorenz, Config, RKSolver,
     Parareal,
