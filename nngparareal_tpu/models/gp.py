@@ -96,8 +96,11 @@ class GParareal(ModelBase):
         # score_lanes=True routes the grid NLL scoring through the
         # blocked lane-major Cholesky (ops/gp_lanes.nll_lanes_big):
         # candidate batch in the VPU lane axis instead of one row-major
-        # XLA cholesky per candidate. Opt-in pending the on-chip
-        # crossover measurement (scripts/gp_chol_bench.py).
+        # XLA cholesky per candidate. Default False, settled by the
+        # on-chip crossover bench (scripts/gp_chol_bench.py, round 5):
+        # at m=512 row-major scores 169 candidates in 51 ms while the
+        # blocked lane path blows XLA compile time (>30 min) — lanes
+        # stay the small-m nnGP fast path only (BENCHMARKS.md notes).
         self.score_lanes = bool(score_lanes)
         # posterior-solve validation (see _validate_alphas): residual
         # tolerance for accepting the final f64 alpha fit

@@ -48,11 +48,15 @@ from nngparareal_tpu import (
     FHNODE, Rossler, Hopf, DblPend, Brusselator, Lorenz, Config, RKSolver,
     Parareal,
 )
+from nngparareal_tpu.systems import ThomasLabyrinth
 
 CTORS = {
     "FHN_ODE": (FHNODE, None), "Rossler": (Rossler, None),
     "Hopf": (Hopf, 32), "Brusselator": (Brusselator, None),
     "Lorenz": (Lorenz, None), "DblPend": (DblPend, None),
+    # TomLab GP scaling rows (BASELINE section 3; reference TomLab.py:106-116
+    # ran GParareal here too, DNF at N=512): N via TomLab:64 etc.
+    "TomLab": (ThomasLabyrinth, 32),
 }
 OUT = "results/resumable_runs.json"
 
