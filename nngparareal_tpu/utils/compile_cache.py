@@ -24,6 +24,11 @@ compilation at all — this closes our own TTFR gap, not a parity gap.
 import os
 
 import jax
+# jax.extend is a lazy submodule: plain `import jax` does not load it, and
+# callers that enable the cache before importing anything else (run_resumable
+# does) would hit an AttributeError at get_backend — silently swallowed
+# pre-round-5 (the missing [compile-cache] log line)
+import jax.extend.backend
 
 
 def enable(path="/root/repo/.jax_cache", verbose=False):
