@@ -423,6 +423,23 @@ class Parareal:
         if getattr(model, "host_only", False):
             # numpy/scipy predict (the NNGPScipy oracle): never jitted
             return "python"
+        if (getattr(model, "tpu_unsafe_predict", False) and mesh is None
+                and sweep_mode != "python"
+                and jax.default_backend() not in ("cpu",)):
+            # the model's jitted predict program kernel-faults the TPU
+            # runtime (measured: NNGPtime's reps x nn_iters batched-NM +
+            # top-k refinement crashes the worker in the FIRST warmup
+            # sweep — chipqueue.log r4b/r4f, driver.py _block(sweep(...)).
+            # Route every on-chip sweep request (scan/host/auto alike)
+            # through the CPU-pinned host sweep: model math runs on the
+            # host's IEEE f64 while the fine fan-out stays on-chip —
+            # the same split the 5e-9 precision router uses.
+            if self.verbose == "v" and sweep_mode not in ("auto",
+                                                          "host_cpu"):
+                print(f"[driver] sweep_mode={sweep_mode!r} overridden to "
+                      f"'host_cpu': {type(model).__name__} predict is "
+                      f"TPU-unsafe (kernel fault)")
+            return "host_cpu"
         if sweep_mode != "auto":
             return sweep_mode
         # 5e-9 precision router: TPU f64 is emulated at ~49 mantissa bits

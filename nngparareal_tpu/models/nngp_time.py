@@ -41,6 +41,11 @@ def k_se_time(sqd_stack, theta):
 
 class NNGPTime(ModelBase):
     name = "NNGPtime"
+    # the jitted predict program (reps x nn_iters lockstep batched-NM +
+    # kernel-similarity top-k over the padded dataset) kernel-faults the
+    # TPU worker on the first sweep (chipqueue.log r4b/r4f attempts); the
+    # driver routes all non-CPU-backend sweeps to 'host_cpu' for it
+    tpu_unsafe_predict = True
 
     def __init__(
         self,

@@ -52,6 +52,43 @@ def test_host_cpu_gpjax():
                                   np.asarray(out_host["u"]))
 
 
+def test_tpu_unsafe_predict_routes_to_host_cpu(monkeypatch):
+    """NNGPtime's jitted predict kernel-faults the TPU worker (chipqueue
+    r4b/r4f); the driver must route every on-chip sweep request for it —
+    explicit 'host'/'scan' included — through the CPU-pinned host sweep."""
+    p = _build()
+    mdl = p._make_model("nngp_time", nn=8, reps=2, nn_iters=2)
+    assert getattr(mdl, "tpu_unsafe_predict", False)
+    import nngparareal_tpu.driver as drv
+
+    monkeypatch.setattr(drv.jax, "default_backend", lambda: "axon")
+    assert p._resolve_sweep_mode("auto", mdl) == "host_cpu"
+    assert p._resolve_sweep_mode("host", mdl) == "host_cpu"
+    assert p._resolve_sweep_mode("scan", mdl) == "host_cpu"
+    # the never-jitted python sweep is safe by construction
+    assert p._resolve_sweep_mode("python", mdl) == "python"
+    # mesh runs keep their requested mode (routing would fight sharding)
+    assert p._resolve_sweep_mode("scan", mdl, mesh=object()) == "scan"
+    # other dataset models are unaffected
+    nngp = p._make_model("nngp", nn=8)
+    assert p._resolve_sweep_mode("scan", nngp) == "scan"
+    monkeypatch.setattr(drv.jax, "default_backend", lambda: "cpu")
+    assert p._resolve_sweep_mode("host", mdl) == "host"
+
+
+def test_host_cpu_nngp_time():
+    """The host_cpu machinery must carry NNGPtime's state end-to-end
+    (it was built for gp/nngp; nngp-time rides it on-chip now)."""
+    kw = dict(model="nngp_time", nn=8, reps=2, nn_iters=2,
+              nm_max_iters=40, warmup=False,
+              measure_serial_fine=False, early_stop=3)
+    out_host = _build().run(sweep_mode="host", **kw)
+    out_cpu = _build().run(sweep_mode="host_cpu", **kw)
+    assert out_cpu["k"] == out_host["k"]
+    np.testing.assert_array_equal(np.asarray(out_cpu["u"]),
+                                  np.asarray(out_host["u"]))
+
+
 def test_fast_sync_matches_attrib():
     """sync_mode='fast' (one device sync per iteration) must be a pure
     timing-accounting change: identical trajectories and K."""
