@@ -44,25 +44,33 @@ def test_enable_before_any_other_import(tmp_path):
 
 
 def test_enable_cross_process_hit(tmp_path):
-    # two fresh processes, same cache dir: the second must hit the cache
+    # two fresh processes, same cache dir: the second must hit the cache.
+    # enable() keeps a 0.2 s write floor for production; a unit-test-sized
+    # program compiles under it and would never be written, so zero the
+    # floor here — the mechanism under test is the cross-process hit, not
+    # the floor. The unrolled matmul chain inflates HLO so XLA compile
+    # (t1) dominates deserialization (t2) well past timing noise.
     code = CLEAN_ORDER + r"""
-import time, jax, jax.numpy as jnp
+import os, time, jax, jax.numpy as jnp
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 @jax.jit
 def prog(u, w):
-    def step(c, _):
-        u, w = c
-        return (jnp.tanh(u @ w + 0.1 * u), w), u.sum()
-    (u, _), s = jax.lax.scan(step, (u, w), None, length=32)
-    return u, s
+    for i in range(48):
+        u = jnp.tanh(u @ w + (0.01 * i) * u)
+    return u.sum()
 
 u = jnp.ones((128, 128), jnp.float32)
 w = jnp.eye(128, dtype=jnp.float32)
 t0 = time.perf_counter()
 prog.lower(u, w).compile()
 print("COMPILE_S", time.perf_counter() - t0)
+print("CACHE_FILES", sum(len(fs) for _, _, fs in os.walk({path!r})))
 """
     first = _run(code, tmp_path)
+    # the write must have landed before the timing claim means anything
+    n_entries = int(first.split("CACHE_FILES")[1].strip().split()[0])
+    assert n_entries >= 1, first
     second = _run(code, tmp_path)
     t1 = float(first.split("COMPILE_S")[1].strip().split()[0])
     t2 = float(second.split("COMPILE_S")[1].strip().split()[0])
