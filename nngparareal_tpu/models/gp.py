@@ -47,6 +47,7 @@ class GParareal(ModelBase):
         score_lanes=False,
         mesh=None,
         alpha_res_tol=1e-6,
+        fit_rows_cap=16384,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -105,6 +106,17 @@ class GParareal(ModelBase):
         # posterior-solve validation (see _validate_alphas): residual
         # tolerance for accepting the final f64 alpha fit
         self.alpha_res_tol = float(alpha_res_tol)
+        # training-window cap: fit on at most this many (newest valid)
+        # dataset rows. Past the 16384 bucket a single Gram buffer
+        # crosses the device's 2^32-byte allocation limit (32768^2 f32
+        # = 4.3 GB; the f64 alphas Gram twice that) and the TPU compile
+        # helper refuses the program — measured on Hopf N=512 at
+        # iteration 32, (k+1)*N = 16896 rows (chipqueue.log 08:00).
+        # The reference's full-data GP (models.py:386-421) never saw a
+        # fit this large in its published runs (Hopf-512 K=19 -> max
+        # 10240 rows); the cap only engages in the beyond-reference
+        # regime and keeps the newest rows, which carry the frontier.
+        self.fit_rows_cap = None if fit_rows_cap is None else int(fit_rows_cap)
         self.alpha_rejects = []  # (k, coord, rel, to) audit trail
         # fits whose posterior stayed unusable after the full walk —
         # surfaced in get_times() so queue guards key on data, not logs
@@ -130,6 +142,16 @@ class GParareal(ModelBase):
         jitters = jnp.asarray(self._jitters)
 
         score_dt = self.score_dtype
+        # f32 scoring: relative jitter floor (x Gershgorin lambda_max
+        # bound) + precision-explicit blocked Cholesky — see
+        # ops/gp.gp_nll and ops/chol_blocked.py. Without the floor the
+        # reference's absolute 10^{-20..-12} jitters are below f32
+        # resolution and candidate survival is decided by where the
+        # factorization fails, which on TPU (bf16-internal native
+        # cholesky) selects degenerate near-diagonal thetas (the Hopf
+        # N=512 crawl root cause, NOTES_ROUND5.md).
+        rel_floor = (4.0 * float(np.finfo(np.float32).eps)
+                     if score_dt == jnp.float32 else None)
 
         def make_obj(X, D, valid):
             sqd_xx = gpops.pairwise_sq_dists(X, X)
@@ -153,7 +175,7 @@ class GParareal(ModelBase):
                         return jax.vmap(
                             lambda t: gpops.nll_from_sqd(
                                 sqd_sc, y, t, jit_pow, valid_sc,
-                                gpops.k_se_linear
+                                gpops.k_se_linear, rel_floor=rel_floor
                             )
                         )(th)
                     return jax.vmap(one)(th_c, jit_sc)  # (nj, C)
@@ -228,9 +250,10 @@ class GParareal(ModelBase):
             worker (round-3 bisect, scripts/dev/gpgrid_fault_probe2.py:
             (27, 256^2) crashes, (18, 256^2) and (27, 128^2) pass)."""
             G = grids.shape[1]
-            itemsize = 4 if score_dt is not None else 8
-            chunk = max(1, min(G, int(2 ** 28 // max(cap * cap, 1))
-                               * (8 // itemsize)))
+            # no f32 chunk bonus: the blocked f32 factorization carries
+            # an (M, M) L alongside the Gram (ops/chol_blocked.py), so
+            # its live footprint matches the f64 path's
+            chunk = max(1, min(G, int(2 ** 28 // max(cap * cap, 1))))
             if self.grid_chunk is not None:
                 chunk = max(1, min(G, self.grid_chunk))
             n_chunks = -(-G // chunk)
@@ -260,6 +283,7 @@ class GParareal(ModelBase):
 
                 def chunk_fn(gc):  # (chunk, 2)
                     if use_lanes:
+                        # research path (default off; no rel_floor wiring)
                         jb = jnp.broadcast_to(j, (gc.shape[0],))
                         return gp_lanes.nll_lanes_big(
                             sqd_s, y[:, None], gc, jb, v_s,
@@ -267,7 +291,8 @@ class GParareal(ModelBase):
                         )[0]
                     return jax.vmap(
                         lambda t: gpops.nll_from_sqd(
-                            sqd_s, y, t, j, v_s, gpops.k_se_linear
+                            sqd_s, y, t, j, v_s, gpops.k_se_linear,
+                            rel_floor=rel_floor
                         )
                     )(gc)
 
@@ -323,8 +348,22 @@ class GParareal(ModelBase):
         nj = len(self._jitters)
         # occupied rows are [0, (k+1)*N); train on the smallest bucket
         rows = min((k + 1) * self.N, ds.capacity)
-        B = self._bucket(rows, ds.capacity)
-        dsX, dsD, dsV = ds.X[:B], ds.D[:B], ds.valid[:B]
+        scatter_idx = None
+        if self.fit_rows_cap is not None and rows > self.fit_rows_cap:
+            # windowed fit: gather the newest valid rows into the capped
+            # bucket (executables for which are already compiled/cached)
+            vmask = np.asarray(ds.valid[:rows]) > 0
+            idx = np.where(vmask)[0][-self.fit_rows_cap:]
+            B = self._bucket(max(idx.size, 1), self.fit_rows_cap)
+            sel = np.zeros(B, np.int64)  # dummy slots gather row 0, masked
+            sel[: idx.size] = idx
+            scatter_idx = jnp.asarray(sel)
+            dsX = ds.X[scatter_idx]
+            dsD = ds.D[scatter_idx]
+            dsV = jnp.asarray((np.arange(B) < idx.size).astype(np.float64))
+        else:
+            B = self._bucket(rows, ds.capacity)
+            dsX, dsD, dsV = ds.X[:B], ds.D[:B], ds.valid[:B]
         fit_warm, alphas, make_obj, fit_grid, alpha_resid = self._get_fns(B)
 
         cand = None
@@ -383,7 +422,13 @@ class GParareal(ModelBase):
         self.hyp[..., min(k + 1, self.N - 1)] = th
         # zero-pad alpha back to capacity: padded k_star rows hit zeros
         alpha_full = jnp.zeros((self.n, ds.capacity))
-        alpha_full = alpha_full.at[:, :B].set(alpha)
+        if scatter_idx is None:
+            alpha_full = alpha_full.at[:, :B].set(alpha)
+        else:
+            # windowed fit: scatter-add back to the rows' true positions
+            # (add: dummy slots alias row 0 but carry masked-zero alpha)
+            alpha_full = alpha_full.at[:, scatter_idx].add(
+                alpha * dsV[None, :])
         self.state = (
             jnp.asarray(th),
             jnp.asarray(jv),
@@ -399,7 +444,17 @@ class GParareal(ModelBase):
         is non-finite gets progressively widened refine passes first; if
         those also fail it is returned with fv=+inf and fit() falls back
         to the NM random-restart rescue (models.py:358-384)."""
-        n, nj = self.n, len(self._jitters)
+        n = self.n
+        # f32 scoring collapses the jitter axis: with the relative floor
+        # active (ops/gp.gp_nll rel_floor) every grid jitter 10^{-20..-12}
+        # is below the floor, so the 9 per-jitter tasks would score
+        # identically — one task per coordinate does the same search 9x
+        # cheaper. jitter_sel seeds at the grid ceiling (-12); the f64
+        # posterior fit's _validate_alphas escalation walks it up if the
+        # IEEE solve needs more (phase 2), exactly as in the 9-task mode.
+        score_f32 = self.score_dtype == jnp.float32
+        jit_tasks = (np.array([-12.0]) if score_f32 else self._jitters)
+        nj = len(jit_tasks)
         T = n * nj
         logs = self._grid_logs
         base = np.stack(
@@ -420,7 +475,7 @@ class GParareal(ModelBase):
         tc = tc * int(ndev)
         Tp = -(-T // tc) * tc
         Ycols = np.repeat(np.asarray(dsD).T, nj, axis=0)  # (T, CAP)
-        jp_full = np.tile(self._jitters, n)  # (T,)
+        jp_full = np.tile(jit_tasks, n)  # (T,)
         if Tp > T:  # dummy tasks: zero targets, mid jitter — discarded
             Ycols = np.concatenate(
                 [Ycols, np.zeros((Tp - T, Ycols.shape[1]))], 0)
@@ -472,12 +527,15 @@ class GParareal(ModelBase):
         th = th.reshape(n, nj, 2)
         best = np.argmin(fv, axis=1)
         th_best = np.take_along_axis(th, best[:, None, None], 1)[:, 0, :]
-        jv_best = self._jitters[best]
+        jv_best = jit_tasks[best]
         fv_best = np.take_along_axis(fv, best[:, None], 1)[:, 0]
         # candidate table for posterior validation: the per-jitter grid
         # winners, ranked by NLL in _validate_alphas when the top pick's
-        # f64 solve turns out unusable
-        cand = (th, fv)
+        # f64 solve turns out unusable. In f32 single-jitter mode there
+        # are no runner-up tasks (the theta winner is jitter-independent
+        # under the floor) — validation relies on its phase-2 jitter
+        # escalation instead.
+        cand = None if score_f32 else (th, fv)
         return th_best, np.asarray(jv_best, float), fv_best, cand
 
     def _validate_alphas(self, alphas, alpha_resid, dsX, dsD, dsV,

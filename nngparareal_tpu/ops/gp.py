@@ -18,6 +18,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from nngparareal_tpu.ops.chol_blocked import chol_diag_solve
 from nngparareal_tpu.ops.linalg_small import (
     cholesky_small,
     solve_lower_small,
@@ -91,6 +92,14 @@ def k_se_linear(sqd, theta):
     return (sigma_y ** 2) * jnp.exp(-0.5 * sqd / (sigma_x ** 2))
 
 
+def _masked_gram_abs(K, mask, jitter_abs):
+    """_masked_gram with the jitter given in absolute (linear) scale."""
+    m2 = mask[:, None] * mask[None, :]
+    Km = K * m2 + jnp.diag(1.0 - mask)
+    M = K.shape[0]
+    return Km + jitter_abs * jnp.eye(M, dtype=K.dtype)
+
+
 def _masked_gram(K, mask, jitter_pow):
     """Zero out padded rows/cols and put ones on their diagonal.
 
@@ -99,10 +108,7 @@ def _masked_gram(K, mask, jitter_pow):
     keeps the padded block exactly lower-triangular-stable and contributes
     log(sqrt(1 + 10^jitter)) ~ 0 only through masked-out logdet terms).
     """
-    m2 = mask[:, None] * mask[None, :]
-    Km = K * m2 + jnp.diag(1.0 - mask)
-    M = K.shape[0]
-    return Km + (10.0 ** jitter_pow) * jnp.eye(M, dtype=K.dtype)
+    return _masked_gram_abs(K, mask, 10.0 ** jitter_pow)
 
 
 def gp_fit(K, y, jitter_pow, mask):
@@ -124,7 +130,7 @@ def gp_fit(K, y, jitter_pow, mask):
     return L, alpha
 
 
-def gp_nll(K, y, jitter_pow, mask):
+def gp_nll(K, y, jitter_pow, mask, rel_floor=None):
     """Masked negative log marginal likelihood.
 
     nll = 0.5 y^T alpha + sum_valid log diag(L) + (count/2) log 2pi,
@@ -133,19 +139,51 @@ def gp_nll(K, y, jitter_pow, mask):
     optimiser discards them, mirroring the reference's NaN->inf guard
     (models.py:247-252, 324-330). For small m the quadratic term uses
     0.5 ||L^-1 y||^2, skipping the back-substitution entirely.
+
+    ``rel_floor``: scoring-only relative jitter floor — the effective
+    jitter is max(10^jitter_pow, rel_floor * gersh(K)) where gersh is the
+    Gershgorin bound on lambda_max (max masked absolute row sum), so the
+    floor adapts per candidate: ~sigma_y^2 for a near-diagonal Gram,
+    ~m sigma_y^2 for a near-rank-1 one. The reference's jitter grid
+    10^{-20..-12} (models.py:387) presumes IEEE f64; relative to any
+    realistic Gram those absolute values sit far below f32 resolution,
+    so in a down-cast scoring pass they cannot regularise anything —
+    they only decide where the f32 factorization happens to fail. The
+    floor makes every candidate factorable and ranks thetas by the NLL
+    of a slightly-regularised model instead; the SELECTED theta's
+    posterior is still fit in f64 at the grid jitter (models/gp.py fit +
+    _validate_alphas walk).
+
+    Large f32 Grams additionally route through the precision-explicit
+    blocked factorization (ops/chol_blocked.py) instead of the native
+    ``cholesky``/``triangular_solve`` HLOs, whose TPU expansions run
+    their internal matmuls at bf16 default precision and fail for every
+    well-conditioned-in-f32-but-not-in-bf16 candidate (the Hopf N=512
+    degenerate-theta root cause; chol_blocked.py module docstring).
     """
-    Kj = _masked_gram(K, mask, jitter_pow)
+    jit_abs = 10.0 ** jitter_pow
+    if rel_floor is not None:
+        gersh = jnp.max(
+            jnp.sum(jnp.abs(K) * (mask[:, None] * mask[None, :]), axis=1)
+        )
+        jit_abs = jnp.maximum(jit_abs, rel_floor * gersh)
+    Kj = _masked_gram_abs(K, mask, jit_abs)
     ym = y * mask
     count = jnp.sum(mask)
     if K.shape[-1] <= _SMALL_M:
         L = cholesky_small(Kj)
         z = solve_lower_small(L, ym)
         quad = 0.5 * jnp.sum(z * z)
+        diagL = jnp.diagonal(L, axis1=-2, axis2=-1)
+    elif K.dtype == jnp.float32:
+        diagL, z = chol_diag_solve(Kj, ym)
+        quad = 0.5 * jnp.sum(z * z)
     else:
         L = jnp.linalg.cholesky(Kj)
         z = jax.scipy.linalg.solve_triangular(L, ym, lower=True)
         quad = 0.5 * jnp.sum(z * z)
-    logdet = jnp.sum(jnp.where(mask > 0, jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), 0.0))
+        diagL = jnp.diagonal(L, axis1=-2, axis2=-1)
+    logdet = jnp.sum(jnp.where(mask > 0, jnp.log(diagL[..., :mask.shape[0]]), 0.0))
     nll = quad + logdet + 0.5 * count * _LOG_2PI
     return jnp.where(jnp.isfinite(nll), nll, jnp.inf)
 
@@ -155,10 +193,10 @@ def gp_posterior_mean(k_star, alpha):
     return jnp.dot(k_star, alpha)
 
 
-def nll_from_sqd(sqd, y, theta, jitter_pow, mask, kernel):
+def nll_from_sqd(sqd, y, theta, jitter_pow, mask, kernel, rel_floor=None):
     """NLL given a precomputed squared-distance Gram matrix."""
     K = kernel(sqd, theta)
-    return gp_nll(K, y, jitter_pow, mask)
+    return gp_nll(K, y, jitter_pow, mask, rel_floor=rel_floor)
 
 
 def predict_mean_from_sqd(sqd_xx, sqd_xq, y, theta, jitter_pow, mask, kernel):
