@@ -88,7 +88,10 @@ def main():
                       F=cfg["F"], **(dict(thresh=thresh) if thresh else {}),
                       **fine_kw)
     N = cfg["N"]
-    p = Parareal(ode, solver, cfg["tspan"], N, epsilon=eps, verbose=None)
+    # verbose=v prints the driver's per-iteration progress lines — the
+    # long CPU chains (nngp-time Lorenz) are unobservable without them
+    p = Parareal(ode, solver, cfg["tspan"], N, epsilon=eps,
+                 verbose=opts.get("verbose"))
 
     run_kw = {}
     if mdl_tag == "gpjax-grid":
@@ -131,7 +134,9 @@ def main():
     # different solver/model configs (nf_mul, fine, nn, ...) can never
     # silently resume each other's trajectories; tag= separates backends
     base_dir = f"results/ckpt/{sysname}_{N}_{mdl_tag}_{eps:g}"
-    shaped = {k: v for k, v in opts.items() if k != "tag"}
+    # tag and verbose don't shape the trajectory — keep them out of the
+    # checkpoint namespace so toggling them resumes the same run
+    shaped = {k: v for k, v in opts.items() if k not in ("tag", "verbose")}
     int_dir = base_dir
     if shaped:
         int_dir += "__" + "_".join(
