@@ -48,6 +48,7 @@ class GParareal(ModelBase):
         mesh=None,
         alpha_res_tol=1e-6,
         fit_rows_cap=16384,
+        score_rows_cap=4096,
         **kwargs,
     ):
         super().__init__(n, N, **kwargs)
@@ -117,6 +118,24 @@ class GParareal(ModelBase):
         # 10240 rows); the cap only engages in the beyond-reference
         # regime and keeps the newest rows, which carry the frontier.
         self.fit_rows_cap = None if fit_rows_cap is None else int(fit_rows_cap)
+        # scoring-window cap (grid mode only): theta selection runs its
+        # dense NLL grid on the newest score_rows_cap valid rows while the
+        # f64 posterior (alphas + _validate_alphas residual walk) keeps the
+        # full fit window. Two reasons, both measured on Hopf N=512:
+        # (1) cost — the precision-explicit blocked f32 Cholesky
+        # (ops/chol_blocked.py) scores ~1 s per candidate at m=16384;
+        # 2 passes x 169 candidates x n coords = tens of minutes per
+        # iteration, vs seconds at m=4096 (cubic in m);
+        # (2) the 16384^2 blocked-chol executable repeatedly took down the
+        # axon TPU worker right after the iter-32 OOM kernel faults
+        # (chipqueue.log 08:40-09:00) — the 4096 size class is the proven
+        # envelope. A theta picked on the newest-4096 window can differ
+        # from the full-window winner on flat NLL landscapes, but the
+        # posterior it parameterises is fit AND residual-validated on the
+        # full window (tests/test_chol_blocked.py holdout-quality test);
+        # _validate_alphas walks candidates if the choice is unusable.
+        self.score_rows_cap = (None if score_rows_cap is None
+                               else int(score_rows_cap))
         self.alpha_rejects = []  # (k, coord, rel, to) audit trail
         # fits whose posterior stayed unusable after the full walk —
         # surfaced in get_times() so queue guards key on data, not logs
@@ -368,7 +387,23 @@ class GParareal(ModelBase):
 
         cand = None
         if self.optimizer == "grid":
-            th, jv, fv, cand = self._fit_grid_search(fit_grid, dsX, dsD, dsV)
+            sX, sD, sV, fit_grid_s = dsX, dsD, dsV, fit_grid
+            if (self.score_rows_cap is not None
+                    and B > self.score_rows_cap):
+                # scoring window: newest valid rows only (see __init__
+                # notes). The f64 posterior below still uses the full
+                # (dsX, dsD, dsV) window and its cached executables.
+                vm = np.asarray(dsV) > 0
+                sidx = np.where(vm)[0][-self.score_rows_cap:]
+                Bs = self._bucket(max(sidx.size, 1), self.score_rows_cap)
+                sel = np.zeros(Bs, np.int64)
+                sel[: sidx.size] = sidx
+                sj = jnp.asarray(sel)
+                sX, sD = dsX[sj], dsD[sj]
+                sV = jnp.asarray(
+                    (np.arange(Bs) < sidx.size).astype(np.float64))
+                fit_grid_s = self._get_fns(Bs)[3]
+            th, jv, fv, cand = self._fit_grid_search(fit_grid_s, sX, sD, sV)
             bad = np.where(~np.isfinite(fv))[0]
             if bad.size:
                 # A coordinate with no finite NLL anywhere on the widened

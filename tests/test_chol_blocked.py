@@ -155,3 +155,53 @@ def test_fit_rows_cap_windows_newest_rows():
         Kq = (th[c, 1] ** 2) * np.exp(-0.5 * sqd_q / th[c, 0] ** 2)
         pred = Kq @ alpha[c]
         assert np.abs(pred - Dq[:, c]).max() < 0.2 * np.abs(Dq[:, c]).std()
+
+
+def test_score_rows_cap_posterior_quality():
+    # scoring-window cap: theta selection on the newest score_rows_cap
+    # valid rows, alphas on the FULL fit window (GParareal.__init__
+    # score_rows_cap notes). The selected theta may differ from the
+    # full-window winner on flat NLL landscapes — the contract is that
+    # the resulting FULL-window posterior is validated-usable and
+    # predicts held-out data as well as the full-window-scored fit.
+    from nngparareal_tpu.models.base import Dataset
+    from nngparareal_tpu.models.gp import GParareal
+
+    rng = np.random.default_rng(11)
+    cap, N, n = 512, 16, 2
+    X = rng.uniform(-1, 1, size=(cap, n))
+    D = np.stack([np.sin(2 * X[:, 0]) * 1e-3, X[:, 1] ** 2 * 1e-3], 1)
+    V = np.ones(cap)
+    ds = Dataset(jnp.asarray(X), jnp.asarray(D), jnp.asarray(V))
+    k = cap // N - 1  # rows = 512
+
+    Xq = rng.uniform(-1, 1, size=(64, n))
+    Dq = np.stack([np.sin(2 * Xq[:, 0]) * 1e-3, Xq[:, 1] ** 2 * 1e-3], 1)
+    sqd_q = ((Xq[:, None, :] - X[None, :, :]) ** 2).sum(-1)  # (64, cap)
+
+    def holdout_err(mdl):
+        th, _, alpha = (np.asarray(a) for a in mdl.state)
+        errs = []
+        for c in range(n):
+            Kq = (th[c, 1] ** 2) * np.exp(-0.5 * sqd_q / th[c, 0] ** 2)
+            pred = Kq @ alpha[c]
+            errs.append(np.abs(pred - Dq[:, c]).max())
+        return np.array(errs)
+
+    m_full = GParareal(n, N, optimizer="grid", score_rows_cap=None)
+    m_full.fit(ds, k)
+    m_win = GParareal(n, N, optimizer="grid", score_rows_cap=128)
+    m_win.fit(ds, k)
+
+    assert m_win.alpha_unusable == []
+    # alphas from the windowed-score fit still span the full dataset
+    alpha = np.asarray(m_win.state[2])
+    assert (np.abs(alpha) > 0).sum() > 128 * n  # not just the score window
+    # windowed-score posterior predicts held-out data comparably (each
+    # coordinate within 3x of the full-window-scored error, and far
+    # below the degenerate predict-zero baseline ~ data std)
+    e_full, e_win = holdout_err(m_full), holdout_err(m_win)
+    for c in range(n):
+        base = np.abs(Dq[:, c]).std()
+        assert e_win[c] < max(3.0 * e_full[c], 0.2 * base), (
+            c, e_win[c], e_full[c], base)
