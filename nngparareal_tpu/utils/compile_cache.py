@@ -39,6 +39,10 @@ def enable(path="/root/repo/.jax_cache", verbose=False):
         if verbose:
             print("[compile-cache] disabled by env", flush=True)
         return False
+    # env override for runs that must not share the default cache — e.g.
+    # XLA:CPU AOT entries compiled on another machine load here with
+    # SIGILL-risk warnings (cpu_aot_loader machine-feature mismatch)
+    path = os.environ.get("NNGP_TPU_CACHE_DIR", path)
     jax.config.update("jax_compilation_cache_dir", path)
     # write entries even for fast compiles: the flagship path compiles
     # dozens of small executables whose cost is the relay round-trip,
